@@ -1,0 +1,400 @@
+"""Embedded quadtree bitplane coder (TPU-native zerotree coding).
+
+This replaces the reference's SPIHT coder (/root/reference/src/spiht/spiht_re.c)
+with a formulation designed for XLA/TPU:
+
+* SPIHT walks LIP/LSP/LIS lists with data-dependent control flow, one bit at a
+  time.  Here significance is organised as a *quadtree max pyramid* over the
+  wavelet coefficient plane (SPECK-style block partitioning), and every
+  sorting/refinement pass of every bitplane is a dense masked vector op.
+* Bit positions are computed with prefix sums (``cumsum``) and bits are
+  scattered into / gathered from a packed ``uint32`` word buffer, so encode
+  and decode are ``jit``-able end to end with static shapes (one
+  ``lax.scan`` over bitplanes).
+* Crucially, the coder is *embedded*: the reconstruction at any truncation
+  point is a closed-form quantisation of the coefficients
+  (:func:`recon_truncated`).  The reference's iterative truncation search
+  (~15 sequential SPIHT decodes, j2k_codec.h:608-649) and its base-CR
+  bisection (~6-9 full JPEG2000 re-encodes, j2k_codec.h:345-396) therefore
+  collapse into a single batched evaluation of candidate truncations.
+
+Stream layout (bit order), per bitplane ``b`` from ``max_step`` down to 0:
+
+    [group significance, level G .. level 1]     quadtree nodes, row-major
+    for each spatial chunk j in 0..J-1:          (J horizontal stripes)
+        [coefficient significance bits, chunk j]
+        [signs of newly-significant coeffs, chunk j]
+    for each spatial chunk j in 0..J-1:
+        [refinement bits of older coeffs, chunk j]
+
+A node emits a significance bit at plane ``b`` iff its parent is significant
+at plane ``b`` (including having just become so) and the node itself is not
+yet significant — the vectorised analogue of SPIHT's set partitioning.  The
+chunking of the level-0 passes provides ~3J valid truncation points per
+plane, giving the rate control fine granularity without per-bit sequencing.
+
+Reading past the end of the stream yields 0 bits, matching the reference's
+bit reader semantics (bitio.h:57-68); that is what makes any prefix of the
+stream (at chunk granularity) a valid codeword.
+
+Unlike the reference decoder (floor reconstruction, spiht_re.c:337), partially
+decoded magnitudes are reconstructed at the *midpoint* of their uncertainty
+interval, which halves the worst-case error per truncated plane and therefore
+improves rate at equal error bound.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CoderSpec(NamedTuple):
+    """Static configuration of the bitplane coder."""
+
+    height: int  # padded coefficient rows; divisible by 2**group_levels
+    width: int   # padded coefficient cols; divisible by 2**group_levels
+    group_levels: int  # quadtree depth above single coefficients (G)
+    nplanes: int       # static number of bitplanes scanned (top plane first)
+    nchunks: int = 4   # spatial chunks per level-0 pass (J)
+
+    @property
+    def nsegments(self) -> int:
+        # G group levels + J * (sig + sign) + J * refine
+        return self.group_levels + 3 * self.nchunks
+
+
+class Analysis(NamedTuple):
+    """Encoder-side closed-form description of a coefficient array."""
+
+    mag: jax.Array   # [B, H, W] int32 magnitudes
+    neg: jax.Array   # [B, H, W] bool, sign bit (True = negative)
+    msb: jax.Array   # [B, H, W] int32, floor(log2(mag)); -1 for mag == 0
+    smax: tuple      # smax[k]: [B, H>>k, W>>k] max msb over 2^k blocks, k=0..G
+    max_step: jax.Array  # [B] int32 global msb (>= 0; 0 for all-zero frames)
+
+
+def _msb(x):
+    """floor(log2(x)) for int32 x >= 0, with msb(0) == -1."""
+    res = jnp.full(x.shape, -1, dtype=jnp.int32)
+    v = x
+    for shift in (16, 8, 4, 2, 1):
+        hit = v >= (1 << shift)
+        res = jnp.where(hit, res + shift, res)
+        v = jnp.where(hit, v >> shift, v)
+    return jnp.where(x > 0, res + 1, -1)
+
+
+def _pool_max(x):
+    """2x2 max pooling of [..., H, W]."""
+    b = x.shape[:-2]
+    h, w = x.shape[-2], x.shape[-1]
+    y = x.reshape(*b, h // 2, 2, w // 2, 2)
+    return jnp.max(jnp.max(y, axis=-1), axis=-2)
+
+
+def _upsample2(x):
+    """Nearest-neighbour 2x upsample of [..., h, w] -> [..., 2h, 2w]."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=-1), 2, axis=-2)
+
+
+def stripe_id(spec: CoderSpec):
+    """[H, W] int32 chunk index (J horizontal stripes)."""
+    rows = jnp.arange(spec.height, dtype=jnp.int32)
+    sid = (rows * spec.nchunks) // spec.height
+    return jnp.broadcast_to(sid[:, None], (spec.height, spec.width))
+
+
+def analyze(coef_int, spec: CoderSpec) -> Analysis:
+    """Closed-form analysis of integer coefficients [B, H, W]."""
+    mag = jnp.abs(coef_int).astype(jnp.int32)
+    neg = coef_int < 0
+    msb = _msb(mag)
+    smax = [msb]
+    for _ in range(spec.group_levels):
+        smax.append(_pool_max(smax[-1]))
+    max_step = jnp.maximum(jnp.max(msb, axis=(-2, -1)), 0).astype(jnp.int32)
+    return Analysis(mag, neg, msb, tuple(smax), max_step)
+
+
+def _planes(spec: CoderSpec):
+    """Bitplanes in processing order (descending)."""
+    return jnp.arange(spec.nplanes - 1, -1, -1, dtype=jnp.int32)
+
+
+def segment_counts(an: Analysis, spec: CoderSpec):
+    """Number of bits emitted per (plane, segment); closed form.
+
+    Returns int32 [B, nplanes, nsegments].  Segment order per plane:
+    group level G..1, (sig_j, sign_j) for j in 0..J-1, refine_j for j.
+    """
+    g, j = spec.group_levels, spec.nchunks
+    sid = stripe_id(spec)
+    planes = _planes(spec)  # [P]
+    pb = planes[:, None, None]  # broadcast over nodes
+
+    def count(mask):  # mask [B, P, h, w] -> [B, P]
+        return jnp.sum(mask, axis=(-2, -1), dtype=jnp.int32)
+
+    segs = []  # each [B, P]
+    for k in range(g, 0, -1):
+        if k == g:
+            par_ok = an.max_step[:, None, None, None] >= pb
+        else:
+            par_ok = _upsample2(an.smax[k + 1][:, None] >= pb)
+        emit = par_ok & (an.smax[k][:, None] <= pb)
+        segs.append(count(emit))
+    par0 = _upsample2(an.smax[1][:, None] >= pb)
+    emit0 = par0 & (an.msb[:, None] <= pb)
+    new = an.msb[:, None] == pb
+    old = an.msb[:, None] > pb
+    for jj in range(j):
+        in_chunk = sid == jj
+        segs.append(count(emit0 & in_chunk))
+        segs.append(count(new & in_chunk))
+    for jj in range(j):
+        segs.append(count(old & (sid == jj)))
+    return jnp.stack(segs, axis=-1)  # [B, P, S]
+
+
+def offsets_from_counts(counts):
+    """Exclusive prefix sums over flattened (plane, segment) order.
+
+    Returns (offsets [B, P, S], total_bits [B]).
+    """
+    b = counts.shape[0]
+    flat = counts.reshape(b, -1)
+    csum = jnp.cumsum(flat, axis=-1)
+    offsets = jnp.concatenate(
+        [jnp.zeros((b, 1), csum.dtype), csum[:, :-1]], axis=-1
+    ).reshape(counts.shape)
+    return offsets, csum[:, -1]
+
+
+def bits_at_plane_boundaries(counts):
+    """Cumulative bits after each plane is fully processed: [B, P]."""
+    return jnp.cumsum(jnp.sum(counts, axis=-1), axis=-1)
+
+
+def candidate_bits(counts, spec: CoderSpec):
+    """Cumulative stream length at every valid truncation point.
+
+    Truncation points per plane p (in order): after sig+sign chunk j
+    (j = 1..J, with refine count 0), then after refine chunk j (j = 1..J;
+    j = J means plane complete).  Returns [B, P, 2J] int32.
+    """
+    g, j = spec.group_levels, spec.nchunks
+    before = bits_at_plane_boundaries(counts) - jnp.sum(counts, axis=-1)
+    groups = jnp.sum(counts[..., :g], axis=-1)
+    sig_pairs = counts[..., g:g + 2 * j]
+    sig_cum = jnp.cumsum(
+        sig_pairs.reshape(*sig_pairs.shape[:-1], j, 2).sum(-1), axis=-1)
+    ref_cum = jnp.cumsum(counts[..., g + 2 * j:], axis=-1)
+    after_sig = (before + groups)[..., None] + sig_cum  # [B, P, J]
+    after_ref = after_sig[..., -1:] + ref_cum      # [B, P, J]
+    return jnp.concatenate([after_sig, after_ref], axis=-1)
+
+
+def recon_truncated(an: Analysis, b, sig_chunks=None, refine_chunks=None,
+                    spec: CoderSpec = None):
+    """Closed-form reconstruction at a truncation point inside plane ``b``.
+
+    All planes above ``b`` are fully processed; at plane ``b``, the first
+    ``sig_chunks`` significance(+sign) chunks and first ``refine_chunks``
+    refinement chunks are processed.  ``refine_chunks > 0`` requires
+    ``sig_chunks == J``.  Defaults mean "plane b fully done".
+
+    ``b`` (and the chunk counts) may be per-frame [B] arrays.
+    Returns float32 midpoint reconstruction of the coefficients.
+    """
+    bb = jnp.asarray(b, jnp.int32)
+    if bb.ndim == 1:
+        bb = bb[:, None, None]
+    if sig_chunks is None:
+        js = None
+    else:
+        js = jnp.asarray(sig_chunks, jnp.int32)
+        if js.ndim == 1:
+            js = js[:, None, None]
+    if refine_chunks is None:
+        jr = None
+    else:
+        jr = jnp.asarray(refine_chunks, jnp.int32)
+        if jr.ndim == 1:
+            jr = jr[:, None, None]
+    old = an.msb > bb
+    new = an.msb == bb
+    if js is None and jr is None:  # plane fully processed
+        visible = old | new
+        beff = bb
+    else:
+        sid = stripe_id(spec)
+        visible = old | (new & (sid < js))
+        beff = jnp.where(old & (sid >= jr), bb + 1, bb)
+    q = jnp.right_shift(an.mag, beff) << beff
+    half = (jnp.exp2(beff.astype(jnp.float32)) - 1.0) * 0.5
+    rec = jnp.where(visible, q.astype(jnp.float32) + half, 0.0)
+    return jnp.where(an.neg, -rec, rec)
+
+
+def _scatter_bits(words, pos, bits, valid):
+    """OR bits into uint32 words at absolute bit positions (MSB-first)."""
+    cap_bits = words.shape[-1] * 32
+    ok = valid & (pos >= 0) & (pos < cap_bits)
+    widx = jnp.where(ok, pos >> 5, words.shape[-1])  # OOB index -> dropped
+    shift = 31 - (pos & 31)
+    val = jnp.where(ok, bits.astype(jnp.uint32) << shift.astype(jnp.uint32),
+                    jnp.uint32(0))
+    return words.at[widx.reshape(-1)].add(val.reshape(-1), mode="drop")
+
+
+def _gather_bits(words, pos, valid):
+    """Read bits at positions; past-the-end reads return 0 (bitio.h:57-68)."""
+    cap_bits = words.shape[-1] * 32
+    ok = valid & (pos >= 0) & (pos < cap_bits)
+    widx = jnp.where(ok, pos >> 5, 0)
+    shift = 31 - (pos & 31)
+    w = words[widx.reshape(-1)].reshape(pos.shape)
+    bits = (w >> shift.astype(jnp.uint32)) & jnp.uint32(1)
+    return jnp.where(ok, bits.astype(jnp.int32), 0)
+
+
+def _ranks(mask):
+    """Row-major exclusive rank of True entries of an [h, w] mask."""
+    flat = mask.reshape(-1)
+    return (jnp.cumsum(flat, dtype=jnp.int32) - 1).reshape(mask.shape)
+
+
+def encode_frame(an: Analysis, trunc_bits, spec: CoderSpec, cap_words: int):
+    """Pack the bitstream of ONE frame up to ``trunc_bits`` bits.
+
+    Operates on single-frame arrays ([H, W]); use ``jax.vmap`` for batches.
+    Returns (words [cap_words] uint32, total_bits scalar): total_bits is the
+    full (untruncated) stream length; the buffer holds min(total, trunc) bits.
+    """
+    g, j = spec.group_levels, spec.nchunks
+    sid = stripe_id(spec)
+    chunk_masks = [sid == jj for jj in range(j)]
+    words0 = jnp.zeros((cap_words,), jnp.uint32)
+
+    def plane_step(carry, b):
+        words, offset = carry
+
+        def put(words, offset, emit, bits):
+            pos = offset + _ranks(emit)
+            words = _scatter_bits(words, pos, bits,
+                                  emit & (pos < trunc_bits))
+            return words, offset + jnp.sum(emit, dtype=jnp.int32)
+
+        for k in range(g, 0, -1):
+            if k == g:
+                par_ok = jnp.broadcast_to(an.max_step >= b, an.smax[k].shape)
+            else:
+                par_ok = _upsample2(an.smax[k + 1] >= b)
+            emit = par_ok & (an.smax[k] <= b)
+            words, offset = put(words, offset, emit,
+                                (an.smax[k] == b).astype(jnp.uint32))
+        par0 = _upsample2(an.smax[1] >= b)
+        emit0 = par0 & (an.msb <= b)
+        new = an.msb == b
+        for cm in chunk_masks:
+            words, offset = put(words, offset, emit0 & cm,
+                                new.astype(jnp.uint32))
+            words, offset = put(words, offset, new & cm,
+                                an.neg.astype(jnp.uint32))
+        old = an.msb > b
+        bits_r = (jnp.right_shift(an.mag, b) & 1).astype(jnp.uint32)
+        for cm in chunk_masks:
+            words, offset = put(words, offset, old & cm, bits_r)
+        return (words, offset), None
+
+    (words, total), _ = jax.lax.scan(plane_step, (words0, jnp.int32(0)),
+                                     _planes(spec))
+    return words, total
+
+
+def decode_frame(words, total_bits, max_step, spec: CoderSpec):
+    """Structural decode of ONE frame's bitstream into float coefficients.
+
+    Mirrors :func:`encode_frame`; reading beyond ``total_bits`` yields zeros,
+    so any (chunk-aligned) prefix decodes to a valid approximation.
+    Reconstruction uses the midpoint of each coefficient's uncertainty
+    interval.
+    """
+    g, j = spec.group_levels, spec.nchunks
+    h, w = spec.height, spec.width
+    sid = stripe_id(spec)
+    chunk_masks = [sid == jj for jj in range(j)]
+    sig0 = tuple(jnp.zeros((h >> k, w >> k), bool) for k in range(g + 1))
+    state0 = (
+        jnp.int32(0),                       # offset
+        sig0,                               # significance pyramid
+        jnp.zeros((h, w), jnp.int32),       # magnitude
+        jnp.zeros((h, w), bool),            # sign
+        jnp.full((h, w), spec.nplanes, jnp.int32),  # last refined plane
+    )
+
+    def plane_step(state, b):
+        offset, sig, mag, neg, last_plane = state
+        sig = list(sig)
+
+        def get(offset, emit):
+            pos = offset + _ranks(emit)
+            in_stream = emit & (pos < total_bits)
+            bits = _gather_bits(words, pos, in_stream)
+            return bits, in_stream, offset + jnp.sum(emit, dtype=jnp.int32)
+
+        for k in range(g, 0, -1):
+            if k == g:
+                par_ok = jnp.broadcast_to(max_step >= b, sig[k].shape)
+            else:
+                par_ok = _upsample2(sig[k + 1])
+            emit = par_ok & ~sig[k]
+            bits, _, offset = get(offset, emit)
+            sig[k] = sig[k] | (emit & (bits == 1))
+        par0 = _upsample2(sig[1])
+        new_all = jnp.zeros((h, w), bool)
+        for cm in chunk_masks:
+            emit0 = par0 & ~sig[0] & cm
+            bits0, _, offset = get(offset, emit0)
+            new = emit0 & (bits0 == 1)
+            sig[0] = sig[0] | new
+            new_all = new_all | new
+            mag = jnp.where(new, jnp.int32(1) << b, mag)
+            last_plane = jnp.where(new, b, last_plane)
+            sbits, _, offset = get(offset, new)
+            neg = jnp.where(new, sbits == 1, neg)
+        old = sig[0] & ~new_all
+        for cm in chunk_masks:
+            emit_r = old & cm
+            rbits, in_stream, offset = get(offset, emit_r)
+            mag = jnp.where(emit_r, mag | (rbits << b), mag)
+            last_plane = jnp.where(in_stream, b, last_plane)
+        return (offset, tuple(sig), mag, neg, last_plane), None
+
+    state, _ = jax.lax.scan(plane_step, state0, _planes(spec))
+    _, sig, mag, neg, last_plane = state
+    half = jnp.where(
+        sig[0] & (last_plane > 0),
+        (jnp.exp2(last_plane.astype(jnp.float32)) - 1.0) * 0.5, 0.0)
+    rec = jnp.where(sig[0], mag.astype(jnp.float32) + half, 0.0)
+    return jnp.where(neg, -rec, rec)
+
+
+# Batched conveniences --------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("spec", "cap_words"))
+def encode_batch(coef_int, trunc_bits, spec: CoderSpec, cap_words: int):
+    an = analyze(coef_int, spec)
+    words, total = jax.vmap(
+        lambda a, tb: encode_frame(a, tb, spec, cap_words))(an, trunc_bits)
+    return words, total, an.max_step
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def decode_batch(words, total_bits, max_step, spec: CoderSpec):
+    return jax.vmap(lambda w, t, m: decode_frame(w, t, m, spec))(
+        words, total_bits, max_step)

@@ -1,0 +1,35 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Must set env vars before the first ``import jax`` anywhere in the test
+process, so this sits at the top of conftest.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def era5_frame():
+    """The reference's canonical test fixture: 721x1440 f32 temperature."""
+    path = "/root/reference/data/test_data.npy"
+    if os.path.exists(path):
+        return np.load(path).astype(np.float32)
+    rng = np.random.default_rng(0)
+    # synthetic smooth field with the same shape/scale as ERA5 temperature
+    y, x = np.mgrid[0:721, 0:1440]
+    base = 260 + 25 * np.sin(y / 721 * np.pi) * np.cos(x / 1440 * 2 * np.pi)
+    return (base + rng.normal(0, 0.5, base.shape)).astype(np.float32)
+
+
+@pytest.fixture(scope="session")
+def small_frame(era5_frame):
+    """Small crop for fast unit tests."""
+    return np.ascontiguousarray(era5_frame[:96, :160])

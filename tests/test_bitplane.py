@@ -1,0 +1,130 @@
+"""Bitplane coder tests: closed-form analysis vs actual encode/decode."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ebcc_tpu.ops import bitplane as bp
+
+
+def make_spec(h=32, w=64, g=3, nplanes=12, j=4):
+    return bp.CoderSpec(height=h, width=w, group_levels=g, nplanes=nplanes,
+                        nchunks=j)
+
+
+def random_coefs(shape, rng, sparse=0.7, maxmag=500):
+    mag = rng.integers(0, maxmag, size=shape)
+    mask = rng.random(size=shape) > sparse
+    sign = rng.choice([-1, 1], size=shape)
+    return (mag * mask * sign).astype(np.int32)
+
+
+def test_full_roundtrip_exact():
+    """With the full stream, decode reproduces coefficients exactly."""
+    rng = np.random.default_rng(3)
+    spec = make_spec()
+    coef = random_coefs((2, spec.height, spec.width), rng)
+    cap_words = spec.height * spec.width  # generous
+    trunc = jnp.full((2,), cap_words * 32, jnp.int32)
+    words, total, max_step = bp.encode_batch(jnp.asarray(coef), trunc, spec,
+                                             cap_words)
+    assert int(jnp.max(total)) < cap_words * 32
+    rec = bp.decode_batch(words, total, max_step, spec)
+    np.testing.assert_array_equal(np.asarray(rec), coef.astype(np.float32))
+
+
+def test_counts_match_emission():
+    rng = np.random.default_rng(4)
+    spec = make_spec()
+    coef = random_coefs((3, spec.height, spec.width), rng)
+    an = bp.analyze(jnp.asarray(coef), spec)
+    counts = bp.segment_counts(an, spec)
+    _, total_expected = bp.offsets_from_counts(counts)
+    cap_words = spec.height * spec.width
+    trunc = jnp.full((3,), cap_words * 32, jnp.int32)
+    _, total, _ = bp.encode_batch(jnp.asarray(coef), trunc, spec, cap_words)
+    np.testing.assert_array_equal(np.asarray(total),
+                                  np.asarray(total_expected))
+
+
+def test_truncated_decode_matches_closed_form_plane_boundaries():
+    """Decoding a plane-boundary prefix equals the closed-form model."""
+    rng = np.random.default_rng(5)
+    spec = make_spec()
+    coef = random_coefs((1, spec.height, spec.width), rng)
+    an = bp.analyze(jnp.asarray(coef), spec)
+    counts = bp.segment_counts(an, spec)
+    plane_bits = bp.bits_at_plane_boundaries(counts)  # [1, P]
+    cap_words = spec.height * spec.width
+    for p in range(spec.nplanes - 4, spec.nplanes):
+        b = spec.nplanes - 1 - p
+        tb = plane_bits[:, p]
+        words, total, max_step = bp.encode_batch(
+            jnp.asarray(coef), tb, spec, cap_words)
+        rec = bp.decode_batch(words, jnp.minimum(total, tb), max_step, spec)
+        expected = bp.recon_truncated(an, jnp.full((1,), b, jnp.int32))
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(expected),
+                                   atol=1e-4)
+
+
+def test_truncated_decode_matches_closed_form_chunk_candidates():
+    """Every candidate truncation point decodes to its closed-form model."""
+    rng = np.random.default_rng(8)
+    spec = make_spec()
+    coef = random_coefs((1, spec.height, spec.width), rng, maxmag=2000)
+    an = bp.analyze(jnp.asarray(coef), spec)
+    counts = bp.segment_counts(an, spec)
+    cand = bp.candidate_bits(counts, spec)  # [1, P, 2J]
+    cap_words = spec.height * spec.width
+    j = spec.nchunks
+    b = 2
+    p = spec.nplanes - 1 - b
+    for ci in range(2 * j):
+        tb = cand[:, p, ci]
+        words, total, max_step = bp.encode_batch(
+            jnp.asarray(coef), tb, spec, cap_words)
+        rec = bp.decode_batch(words, jnp.minimum(total, tb), max_step, spec)
+        if ci < j:
+            js, jr = ci + 1, 0
+        else:
+            js, jr = j, ci - j + 1
+        expected = bp.recon_truncated(
+            an, jnp.full((1,), b, jnp.int32),
+            sig_chunks=jnp.full((1,), js, jnp.int32),
+            refine_chunks=jnp.full((1,), jr, jnp.int32), spec=spec)
+        np.testing.assert_allclose(
+            np.asarray(rec), np.asarray(expected), atol=1e-4,
+            err_msg=f"candidate {ci}")
+
+
+def test_truncated_error_bound():
+    """After plane b, max reconstruction error < 2**b (midpoint recon)."""
+    rng = np.random.default_rng(6)
+    spec = make_spec()
+    coef = random_coefs((1, spec.height, spec.width), rng, maxmag=2000)
+    an = bp.analyze(jnp.asarray(coef), spec)
+    for b in range(1, 8):
+        rec = bp.recon_truncated(an, jnp.full((1,), b, jnp.int32))
+        err = np.max(np.abs(np.asarray(rec) - coef))
+        assert err < 2 ** b
+
+
+def test_candidate_bits_monotone():
+    rng = np.random.default_rng(7)
+    spec = make_spec()
+    coef = random_coefs((2, spec.height, spec.width), rng, maxmag=3000)
+    an = bp.analyze(jnp.asarray(coef), spec)
+    counts = bp.segment_counts(an, spec)
+    cand = np.asarray(bp.candidate_bits(counts, spec)).reshape(2, -1)
+    assert (np.diff(cand, axis=-1) >= 0).all()
+    total = np.asarray(bp.offsets_from_counts(counts)[1])
+    np.testing.assert_array_equal(cand[:, -1], total)
+
+
+def test_zero_frame():
+    spec = make_spec()
+    coef = jnp.zeros((1, spec.height, spec.width), jnp.int32)
+    cap_words = 1024
+    trunc = jnp.full((1,), cap_words * 32, jnp.int32)
+    words, total, max_step = bp.encode_batch(coef, trunc, spec, cap_words)
+    rec = bp.decode_batch(words, total, max_step, spec)
+    np.testing.assert_array_equal(np.asarray(rec), 0.0)
