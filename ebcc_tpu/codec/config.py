@@ -1,0 +1,71 @@
+"""Codec configuration and environment-variable handling.
+
+Mirrors the reference's config surface: ``codec_config_t``
+(/root/reference/src/j2k_codec.h:188-196), residual mode enum (:168-175) and
+the env vars read by ``encode_climate_variable`` (:471-487).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import os
+
+
+class ResidualMode(enum.IntEnum):
+    """Residual compression modes (j2k_codec.h:168-175)."""
+
+    NONE = 0
+    SPARSIFICATION_FACTOR = 1
+    MAX_ERROR = 2
+    RELATIVE_ERROR = 3
+    QUANTILE = 4  # deprecated in the reference (asserts, j2k_codec.h:554)
+    POINTWISE_MAX_ERROR = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class EBCCConfig:
+    """User-facing codec configuration.
+
+    Equivalent of the reference ``codec_config_t`` plus the TPU-side knobs.
+    """
+
+    mode: ResidualMode = ResidualMode.MAX_ERROR
+    base_cr: float = 100.0          # target CR of the base layer (f32 bytes)
+    error: float = 0.0              # max-error / relative-error target
+    residual_cr: float = 10.0       # SPARSIFICATION_FACTOR only
+    pointwise_max_error_ratio: float = 1.0  # POINTWISE only
+
+    # TPU codec internals (static; affect the bitstream format)
+    base_levels: int = 5            # DWT levels of the base layer
+    residual_levels: int = 3        # DWT levels of the residual layer
+    nchunks: int = 4                # truncation chunks per bitplane pass
+    base_nplanes: int = 22
+    residual_nplanes: int = 14
+    base_cap_bits_per_px: int = 8
+    residual_cap_bits_per_px: int = 6
+    zstd_level: int = 19            # residual entropy stage (ref uses 22)
+    max_batch: int = 8              # frames per device dispatch
+
+    def __post_init__(self):
+        if self.mode == ResidualMode.QUANTILE:
+            raise ValueError("QUANTILE mode is deprecated "
+                             "(reference: j2k_codec.h:554-555)")
+
+
+def base_error_quantile(default: float = 1e-6) -> float:
+    """EBCC_INIT_BASE_ERROR_QUANTILE: allowed fraction of points whose base-
+    layer error may exceed the target (j2k_codec.h:475-480).  0 disables the
+    residual layer (base alone must satisfy the bound everywhere)."""
+    v = os.environ.get("EBCC_INIT_BASE_ERROR_QUANTILE")
+    if v is None:
+        return default
+    try:
+        return float(v)
+    except ValueError:
+        return default
+
+
+def pure_fallback_disabled() -> bool:
+    """EBCC_DISABLE_PURE_JP2_FALLBACK (j2k_codec.h:481-483)."""
+    return os.environ.get("EBCC_DISABLE_PURE_JP2_FALLBACK") is not None

@@ -1,0 +1,118 @@
+"""Serialized container format (versioned).
+
+Functional equivalent of the reference container (written
+/root/reference/src/j2k_codec.h:706-736, parsed :1098-1112), redesigned: the
+byte layout differs (this codec's bitstreams are not OpenJPEG/SPIHT streams)
+but the field set is a superset — min/max, residual min/max, stream sizes,
+constant-field short form — plus the header metadata the TPU decoder needs
+(DC offsets, top bitplanes, truncation points).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import NamedTuple
+
+MAGIC = b"EBT1"
+
+FLAG_CONST = 1
+FLAG_RESID = 2
+FLAG_POINTWISE = 4
+
+_HDR = struct.Struct("<4sBBHII ff fI B")       # fixed part
+_RES = struct.Struct("<fffBIQ")                # residual part
+# fields: magic, version, flags, mode, h, w | mn, mx | dc_b, base_nbits,
+# max_step_b ; residual: rmin, rmax, dc_r, max_step_r, resid_nbits, zlen
+
+
+class FrameHeader(NamedTuple):
+    flags: int
+    mode: int
+    h: int
+    w: int
+    mn: float
+    mx: float
+    dc_b: float
+    base_nbits: int
+    max_step_b: int
+    rmin: float
+    rmax: float
+    dc_r: float
+    max_step_r: int
+    resid_nbits: int
+    zlen: int
+
+
+def pack_frame(mode: int, h: int, w: int, mn: float, mx: float, *,
+               const: bool = False, tot_size: int = 0,
+               dc_b: float = 0.0, base_nbits: int = 0, max_step_b: int = 0,
+               base_stream: bytes = b"",
+               resid: tuple | None = None, pointwise: bool = False) -> bytes:
+    """Serialize one frame.  ``resid`` = (rmin, rmax, dc_r, max_step_r,
+    resid_nbits, zstd_blob) or None."""
+    flags = (FLAG_CONST if const else 0) | (FLAG_POINTWISE if pointwise else 0)
+    if resid is not None:
+        flags |= FLAG_RESID
+    if const:
+        head = _HDR.pack(MAGIC, 1, flags, mode, h, w, mn, mx, 0.0, 0, 0)
+        return head + struct.pack("<Q", tot_size)
+    head = _HDR.pack(MAGIC, 1, flags, mode, h, w, mn, mx,
+                     dc_b, base_nbits, max_step_b)
+    parts = [head]
+    if resid is not None:
+        rmin, rmax, dc_r, max_step_r, resid_nbits, zblob = resid
+        parts.append(_RES.pack(rmin, rmax, dc_r, max_step_r, resid_nbits,
+                               len(zblob)))
+        parts.append(zblob)
+    parts.append(base_stream)
+    return b"".join(parts)
+
+
+def unpack_frame(buf: bytes):
+    """Parse one frame; returns (header: FrameHeader, zblob, base_stream,
+    tot_size)."""
+    magic, ver, flags, mode, h, w, mn, mx, dc_b, base_nbits, max_step_b = \
+        _HDR.unpack_from(buf, 0)
+    if magic != MAGIC or ver != 1:
+        raise ValueError("not an EBCC-TPU frame")
+    off = _HDR.size
+    if flags & FLAG_CONST:
+        (tot,) = struct.unpack_from("<Q", buf, off)
+        hdr = FrameHeader(flags, mode, h, w, mn, mx, 0.0, 0, 0,
+                          0.0, 0.0, 0.0, 0, 0, 0)
+        return hdr, b"", b"", tot
+    rmin = rmax = dc_r = 0.0
+    max_step_r = resid_nbits = zlen = 0
+    zblob = b""
+    if flags & FLAG_RESID:
+        rmin, rmax, dc_r, max_step_r, resid_nbits, zlen = \
+            _RES.unpack_from(buf, off)
+        off += _RES.size
+        zblob = buf[off:off + zlen]
+        off += zlen
+    base_stream = buf[off:]
+    hdr = FrameHeader(flags, mode, h, w, mn, mx, dc_b, base_nbits,
+                      max_step_b, rmin, rmax, dc_r, max_step_r,
+                      resid_nbits, zlen)
+    return hdr, zblob, base_stream, 0
+
+
+def pack_blob(frames: list) -> bytes:
+    """Concatenate per-frame containers with an index table."""
+    head = struct.pack("<4sI", b"EBTB", len(frames))
+    lens = struct.pack(f"<{len(frames)}Q", *[len(f) for f in frames])
+    return head + lens + b"".join(frames)
+
+
+def unpack_blob(blob: bytes) -> list:
+    magic, n = struct.unpack_from("<4sI", blob, 0)
+    if magic != b"EBTB":
+        raise ValueError("not an EBCC-TPU blob")
+    off = 8
+    lens = struct.unpack_from(f"<{n}Q", blob, off)
+    off += 8 * n
+    out = []
+    for ln in lens:
+        out.append(blob[off:off + ln])
+        off += ln
+    return out

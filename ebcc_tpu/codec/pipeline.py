@@ -1,0 +1,356 @@
+"""Jitted encode/decode stages of the two-layer error-bounded codec.
+
+TPU-native redesign of ``encode_climate_variable`` /
+``decode_climate_variable`` (/root/reference/src/j2k_codec.h:460-744, 1095-
+1149).  The structure of the reference pipeline is preserved — u16 scaling,
+lossy base layer, residual layer with truncation search, error-bound
+enforcement with a feasibility quantile, pure-base fallback — but every
+stage is batched over frames and every search loop is collapsed:
+
+* The reference's base-CR bisection re-encodes the frame with OpenJPEG 6-9
+  times per frame (j2k_codec.h:345-396).  Here the base layer is an
+  *embedded* bitstream, so all candidate rates are prefixes of one stream
+  and their reconstructions are closed-form quantisations evaluated in one
+  batched pass (a ``lax.scan`` over bitplanes + one fine pass).
+* The reference's residual truncation bisection runs ~15 sequential SPIHT
+  decodes (j2k_codec.h:608-649).  Same collapse applies.
+
+The host never sees intermediate reconstructions; one jitted call per batch
+returns packed bitstreams, chosen truncation points and header metadata.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import bitplane as bp
+from ..ops import dwt, frame, weights
+from .config import EBCCConfig, ResidualMode
+
+U16_MAX = 65535.0
+RESID_SCALE = 255.0  # reference residual quantisation scale (spiht_re.h:12)
+
+
+class LayerGeom(NamedTuple):
+    levels: int
+    hp: int
+    wp: int
+    spec: bp.CoderSpec
+    cap_words: int
+
+
+def _make_geom(h, w, levels, nplanes, nchunks, cap_bits_per_px):
+    hp = frame.padded_size(h, levels)
+    wp = frame.padded_size(w, levels)
+    g = levels + 1  # quadtree depth; padded dims divide 2**(levels+1)
+    spec = bp.CoderSpec(height=hp, width=wp, group_levels=g,
+                        nplanes=nplanes, nchunks=nchunks)
+    cap_words = (h * w * cap_bits_per_px + 31) // 32
+    return LayerGeom(levels, hp, wp, spec, cap_words)
+
+
+class EncodeResult(NamedTuple):
+    """Device outputs of one batched encode call (all leading dim B)."""
+
+    mn: jax.Array
+    mx: jax.Array
+    const: jax.Array            # bool: constant field
+    dc_b: jax.Array
+    max_step_b: jax.Array
+    base_words: jax.Array       # packed to max(bits_q, bits_pure)
+    base_bits_q: jax.Array      # truncation meeting the feasibility quantile
+    base_bits_pure: jax.Array   # truncation meeting the bound everywhere
+    base_feasible_pure: jax.Array  # bool: pure base meets bound everywhere
+    rmin: jax.Array
+    rmax: jax.Array
+    dc_r: jax.Array
+    max_step_r: jax.Array
+    resid_words: jax.Array
+    resid_bits: jax.Array
+    resid_feasible: jax.Array   # bool: base@q + residual meets the bound
+    skip_residual: jax.Array    # bool: base@q alone already meets the bound
+
+
+class FrameCodec:
+    """Codec specialised to one frame geometry (H, W) and config."""
+
+    def __init__(self, h: int, w: int, config: EBCCConfig):
+        self.h, self.w, self.config = h, w, config
+        c = config
+        self.base = _make_geom(h, w, c.base_levels, c.base_nplanes,
+                               c.nchunks, c.base_cap_bits_per_px)
+        self.resid = _make_geom(h, w, c.residual_levels, c.residual_nplanes,
+                                c.nchunks, c.residual_cap_bits_per_px)
+        self.wb = jnp.asarray(
+            weights.weight_array(self.base.hp, self.base.wp, c.base_levels))
+        self.wr = jnp.asarray(weights.weight_array(
+            self.resid.hp, self.resid.wp, c.residual_levels))
+        self._encode_eb = jax.jit(self._encode_error_bounded)
+        self._encode_rate = jax.jit(self._encode_rate_targeted)
+        self._decode = jax.jit(self._decode_stage)
+
+    # ---------------- shared transform helpers ----------------
+
+    def _base_transform(self, data):
+        mn, mx = frame.minmax(data)
+        const = mn == mx
+        u = frame.scale_to_u16(data, mn, mx)
+        up = frame.pad_symmetric(u, self.base.levels)
+        upc, dc = frame.sub_dc_floor(up)
+        coef = dwt.dwt2d_multi(upc, self.base.levels)
+        ci = jnp.trunc(coef * self.wb).astype(jnp.int32)
+        return mn, mx, const, dc, ci
+
+    def _base_recon(self, rec_coef, mn, mx, dc):
+        c = rec_coef / self.wb
+        rec = dwt.idwt2d_multi(c, self.base.levels) + dc[:, None, None]
+        rec = jnp.clip(rec, 0.0, U16_MAX)
+        rec = frame.crop(rec, self.h, self.w)
+        return frame.unscale_from_u16(rec, mn, mx)
+
+    def _resid_transform(self, resid):
+        rmin, rmax = frame.minmax(resid)
+        rng = jnp.where(rmax > rmin, rmax - rmin, 1.0)
+        rn = (resid - rmin[:, None, None]) / rng[:, None, None] * RESID_SCALE
+        rp = frame.pad_symmetric(rn, self.resid.levels)
+        rpc, dcr = frame.sub_dc_floor(rp)
+        ci = jnp.trunc(
+            dwt.dwt2d_multi(rpc, self.resid.levels) * self.wr
+        ).astype(jnp.int32)
+        return rmin, rmax, dcr, ci
+
+    def _resid_recon(self, rec_coef, rmin, rmax, dcr):
+        c = rec_coef / self.wr
+        rec = dwt.idwt2d_multi(c, self.resid.levels) + dcr[:, None, None]
+        rec = jnp.clip(rec, 0.0, RESID_SCALE)
+        rec = frame.crop(rec, self.h, self.w)
+        rng = (rmax - rmin)[:, None, None]
+        return rec / RESID_SCALE * rng + rmin[:, None, None]
+
+    # ---------------- truncation search ----------------
+
+    def _scan_planes(self, an, geom, recon_fn, data_ref, target):
+        """Per-plane-boundary error stats: (maxdiff [B,P], viol [B,P]).
+
+        maxdiff = max(|err| - target); viol = fraction of points violating.
+        ``target`` is [B] (broadcast) or [B,H,W] (pointwise).
+        """
+        tgt = target if target.ndim == 3 else target[:, None, None]
+
+        def step(_, b):
+            rec = bp.recon_truncated(an, b)
+            err = jnp.abs(data_ref - recon_fn(rec)) - tgt
+            return None, (jnp.max(err, axis=(-2, -1)),
+                          jnp.mean(err > 0, axis=(-2, -1)))
+
+        _, (maxdiff, viol) = jax.lax.scan(step, None,
+                                          jnp.arange(geom.spec.nplanes - 1,
+                                                     -1, -1, jnp.int32))
+        return maxdiff.T, viol.T  # [B, P]
+
+    def _fine_candidates(self, an, geom, recon_fn, data_ref, target, bstar):
+        """Error stats at the 2J chunk candidates inside plane bstar [B]."""
+        tgt = target if target.ndim == 3 else target[:, None, None]
+        j = geom.spec.nchunks
+        maxd, viol = [], []
+        for k in range(2 * j):
+            if k < j:
+                js, jr = k + 1, 0
+            else:
+                js, jr = j, k - j + 1
+            bb = jnp.full_like(bstar, js)
+            rr = jnp.full_like(bstar, jr)
+            rec = bp.recon_truncated(an, bstar, sig_chunks=bb,
+                                     refine_chunks=rr, spec=geom.spec)
+            err = jnp.abs(data_ref - recon_fn(rec)) - tgt
+            maxd.append(jnp.max(err, axis=(-2, -1)))
+            viol.append(jnp.mean(err > 0, axis=(-2, -1)))
+        return jnp.stack(maxd, -1), jnp.stack(viol, -1)  # [B, 2J]
+
+    @staticmethod
+    def _first_feasible(ok):
+        """Index of first True along the last axis; last index if none."""
+        idx = jnp.argmax(ok, axis=-1)
+        any_ok = jnp.any(ok, axis=-1)
+        return jnp.where(any_ok, idx, ok.shape[-1] - 1), any_ok
+
+    def _search_truncation(self, an, geom, recon_fn, data_ref, target,
+                           qallow, coarse=None):
+        """Smallest truncation whose violation fraction <= qallow.
+
+        Returns (bits [B], feasible [B], maxdiff at choice [B], bstar, kstar).
+        ``coarse`` optionally carries precomputed (cand, maxd_p, viol_p) so
+        several selections (e.g. the feasibility-quantile choice and the
+        pure-base fallback, j2k_codec.h:668-695) share one plane scan.
+        """
+        if coarse is None:
+            counts = bp.segment_counts(an, geom.spec)
+            cand = bp.candidate_bits(counts, geom.spec)  # [B, P, 2J]
+            maxd_p, viol_p = self._scan_planes(an, geom, recon_fn, data_ref,
+                                               target)
+        else:
+            cand, maxd_p, viol_p = coarse
+        ok_p = jnp.where(qallow > 0, viol_p <= qallow, maxd_p <= 0)
+        pstar, any_ok = self._first_feasible(ok_p)
+        bstar = geom.spec.nplanes - 1 - pstar
+        maxd_f, viol_f = self._fine_candidates(an, geom, recon_fn, data_ref,
+                                               target, bstar)
+        ok_f = jnp.where(qallow > 0, viol_f <= qallow, maxd_f <= 0)
+        # the last fine candidate == plane complete == the coarse choice,
+        # so feasibility at pstar implies a feasible fine candidate.
+        kstar, _ = self._first_feasible(ok_f)
+        bits_pk = jnp.take_along_axis(cand, pstar[:, None, None],
+                                      axis=1)[:, 0]  # [B, 2J]
+        bits = jnp.take_along_axis(bits_pk, kstar[:, None], axis=1)[:, 0]
+        maxd = jnp.take_along_axis(maxd_f, kstar[:, None], axis=1)[:, 0]
+        total = cand[:, -1, -1]
+        bits = jnp.where(any_ok, bits, total)
+        maxd = jnp.where(any_ok, maxd,
+                         jnp.take_along_axis(maxd_p, (geom.spec.nplanes - 1) *
+                                             jnp.ones_like(pstar)[:, None],
+                                             axis=1)[:, 0])
+        return bits, any_ok, maxd, bstar, kstar
+
+    def _recon_at(self, an, geom, bstar, kstar):
+        """Reconstruction at the chosen (plane, chunk) truncation."""
+        j = geom.spec.nchunks
+        js = jnp.where(kstar < j, kstar + 1, j)
+        jr = jnp.where(kstar < j, 0, kstar - j + 1)
+        return bp.recon_truncated(an, bstar, sig_chunks=js, refine_chunks=jr,
+                                  spec=geom.spec)
+
+    # ---------------- encode stages ----------------
+
+    def _encode_error_bounded(self, data, target, qbase):
+        """MAX_ERROR / RELATIVE_ERROR / POINTWISE encode.
+
+        ``target``: [B] absolute error targets, or [B,H,W] pointwise targets.
+        ``qbase``: allowed violating fraction for the base layer
+        (EBCC_INIT_BASE_ERROR_QUANTILE; j2k_codec.h:469).
+        Implements the search + fallback logic of j2k_codec.h:562-695.
+        """
+        mn, mx, const, dc, ci = self._base_transform(data)
+        an_b = bp.analyze(ci, self.base.spec)
+
+        def recon_b(rc):
+            return self._base_recon(rc, mn, mx, dc)
+
+        counts_b = bp.segment_counts(an_b, self.base.spec)
+        coarse = (bp.candidate_bits(counts_b, self.base.spec),
+                  *self._scan_planes(an_b, self.base, recon_b, data, target))
+        bits_q, feas_q, maxd_q, bs_q, ks_q = self._search_truncation(
+            an_b, self.base, recon_b, data, target, qbase, coarse=coarse)
+        # pure fallback: same embedded stream, quantile target 1.0
+        # (j2k_codec.h:668-695) — free here, it is just another prefix.
+        bits_pure, feas_pure, _, _, _ = self._search_truncation(
+            an_b, self.base, recon_b, data, target, jnp.float32(0.0),
+            coarse=coarse)
+
+        base_rec = recon_b(self._recon_at(an_b, self.base, bs_q, ks_q))
+        resid = data - base_rec
+        skip_residual = maxd_q <= 0  # "Skip Residual 1" (j2k_codec.h:584)
+
+        rmin, rmax, dcr, cir = self._resid_transform(resid)
+        an_r = bp.analyze(cir, self.resid.spec)
+
+        def recon_r(rc):
+            return base_rec + self._resid_recon(rc, rmin, rmax, dcr)
+
+        resid_bits, resid_feas, _, _, _ = self._search_truncation(
+            an_r, self.resid, recon_r, data, target, jnp.float32(0.0))
+
+        base_words, _ = jax.vmap(
+            lambda a, tb: bp.encode_frame(a, tb, self.base.spec,
+                                          self.base.cap_words))(
+            an_b, jnp.maximum(bits_q, bits_pure))
+        resid_words, _ = jax.vmap(
+            lambda a, tb: bp.encode_frame(a, tb, self.resid.spec,
+                                          self.resid.cap_words))(
+            an_r, jnp.where(skip_residual, 0, resid_bits))
+
+        return EncodeResult(
+            mn=mn, mx=mx, const=const, dc_b=dc, max_step_b=an_b.max_step,
+            base_words=base_words, base_bits_q=bits_q,
+            base_bits_pure=bits_pure, base_feasible_pure=feas_pure,
+            rmin=rmin, rmax=rmax, dc_r=dcr, max_step_r=an_r.max_step,
+            resid_words=resid_words, resid_bits=resid_bits,
+            resid_feasible=resid_feas, skip_residual=skip_residual)
+
+    def _encode_rate_targeted(self, data, base_budget_bits, resid_budget_bits):
+        """NONE / SPARSIFICATION_FACTOR encode: truncate at bit budgets.
+
+        ``resid_budget_bits <= 0`` disables the residual layer (NONE mode).
+        """
+        mn, mx, const, dc, ci = self._base_transform(data)
+        an_b = bp.analyze(ci, self.base.spec)
+        counts = bp.segment_counts(an_b, self.base.spec)
+        cand = bp.candidate_bits(counts, self.base.spec)
+        flat = cand.reshape(cand.shape[0], -1)
+        fits = flat <= base_budget_bits[:, None]
+        idx = jnp.sum(fits, axis=-1) - 1  # last fitting candidate
+        idx = jnp.clip(idx, 0, flat.shape[-1] - 1)
+        bits_b = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+        nk = 2 * self.base.spec.nchunks
+        bs = self.base.spec.nplanes - 1 - idx // nk
+        ks = idx % nk
+
+        base_words, _ = jax.vmap(
+            lambda a, tb: bp.encode_frame(a, tb, self.base.spec,
+                                          self.base.cap_words))(an_b, bits_b)
+
+        base_rec = self._base_recon(self._recon_at(an_b, self.base, bs, ks),
+                                    mn, mx, dc)
+        resid = data - base_rec
+        rmin, rmax, dcr, cir = self._resid_transform(resid)
+        an_r = bp.analyze(cir, self.resid.spec)
+        counts_r = bp.segment_counts(an_r, self.resid.spec)
+        cand_r = bp.candidate_bits(counts_r, self.resid.spec).reshape(
+            cand.shape[0], -1)
+        fits_r = cand_r <= resid_budget_bits[:, None]
+        idx_r = jnp.clip(jnp.sum(fits_r, axis=-1) - 1, 0,
+                         cand_r.shape[-1] - 1)
+        bits_r = jnp.take_along_axis(cand_r, idx_r[:, None], axis=1)[:, 0]
+        use_resid = resid_budget_bits > 0
+        resid_words, _ = jax.vmap(
+            lambda a, tb: bp.encode_frame(a, tb, self.resid.spec,
+                                          self.resid.cap_words))(
+            an_r, jnp.where(use_resid, bits_r, 0))
+
+        zero = jnp.zeros_like(mn)
+        return EncodeResult(
+            mn=mn, mx=mx, const=const, dc_b=dc, max_step_b=an_b.max_step,
+            base_words=base_words, base_bits_q=bits_b,
+            base_bits_pure=bits_b, base_feasible_pure=jnp.zeros_like(const),
+            rmin=rmin, rmax=rmax, dc_r=dcr, max_step_r=an_r.max_step,
+            resid_words=resid_words,
+            resid_bits=jnp.where(use_resid, bits_r, 0),
+            resid_feasible=use_resid, skip_residual=~use_resid)
+
+    # ---------------- decode stage ----------------
+
+    def _decode_stage(self, base_words, base_bits, max_step_b, mn, mx, dc,
+                      has_resid, resid_words, resid_bits, max_step_r,
+                      rmin, rmax, dcr):
+        rc = bp.decode_batch(base_words, base_bits, max_step_b,
+                             self.base.spec)
+        out = self._base_recon(rc, mn, mx, dc)
+        rr = bp.decode_batch(resid_words, resid_bits, max_step_r,
+                             self.resid.spec)
+        resid = self._resid_recon(rr, rmin, rmax, dcr)
+        return out + jnp.where(has_resid[:, None, None], resid, 0.0)
+
+    # ---------------- public (device-level) API ----------------
+
+    def encode_error_bounded(self, data, target, qbase):
+        return self._encode_eb(data, target, jnp.float32(qbase))
+
+    def encode_rate_targeted(self, data, base_budget_bits, resid_budget_bits):
+        return self._encode_rate(data, base_budget_bits, resid_budget_bits)
+
+    def decode(self, *args):
+        return self._decode(*args)

@@ -12,6 +12,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# The axon TPU plugin's sitecustomize forces jax_platforms="axon,cpu" at
+# interpreter start, overriding the env var; undo that for tests.
+if "axon" in (jax.config.jax_platforms or ""):
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

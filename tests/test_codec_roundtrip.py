@@ -1,0 +1,108 @@
+"""End-to-end codec tests: bound enforcement + compression ratio sanity.
+
+Mirrors the reference's smoke test (test.py:35-59): compress an ERA5-like
+frame, decompress, verify the achieved error against the requested bound and
+report the compression ratio.
+"""
+
+import numpy as np
+import pytest
+
+import ebcc_tpu
+from ebcc_tpu import EBCCConfig, ResidualMode
+
+
+def small_cfg(**kw):
+    kw.setdefault("max_batch", 2)
+    return EBCCConfig(**kw)
+
+
+def cr(data, blob):
+    return data.nbytes / len(blob)
+
+
+class TestMaxError:
+    def test_bound_enforced_small(self, small_frame):
+        data = small_frame[None]
+        cfg = small_cfg(mode=ResidualMode.MAX_ERROR, error=0.5, base_cr=30)
+        blob = ebcc_tpu.compress(data, cfg)
+        rec = ebcc_tpu.decompress(blob, cfg)
+        assert rec.shape == data.shape
+        maxerr = float(np.max(np.abs(rec - data)))
+        assert maxerr <= 0.5, f"max error {maxerr} > bound"
+        assert cr(data, blob) > 3
+
+    def test_tighter_bound_bigger_stream(self, small_frame):
+        data = small_frame[None]
+        sizes = []
+        for e in (2.0, 0.25):
+            cfg = small_cfg(mode=ResidualMode.MAX_ERROR, error=e)
+            blob = ebcc_tpu.compress(data, cfg)
+            rec = ebcc_tpu.decompress(blob, cfg)
+            assert float(np.max(np.abs(rec - data))) <= e
+            sizes.append(len(blob))
+        assert sizes[1] > sizes[0]
+
+
+class TestRelativeError:
+    def test_bound_enforced(self, small_frame):
+        data = small_frame[None]
+        cfg = small_cfg(mode=ResidualMode.RELATIVE_ERROR, error=0.009)
+        blob = ebcc_tpu.compress(data, cfg)
+        rec = ebcc_tpu.decompress(blob, cfg)
+        rng = data.max() - data.min()
+        rel = float(np.max(np.abs(rec - data))) / rng
+        assert rel <= 0.009
+
+
+class TestNone:
+    def test_rate_targeted(self, small_frame):
+        data = small_frame[None]
+        cfg = small_cfg(mode=ResidualMode.NONE, base_cr=30)
+        blob = ebcc_tpu.compress(data, cfg)
+        rec = ebcc_tpu.decompress(blob, cfg)
+        assert rec.shape == data.shape
+        # stream respects the rate budget (within container overhead)
+        assert len(blob) < data.nbytes / 30 + 256
+        # and the reconstruction is a sane approximation
+        rng = data.max() - data.min()
+        assert float(np.max(np.abs(rec - data))) / rng < 0.25
+
+
+class TestConstField:
+    def test_const(self):
+        data = np.full((1, 64, 96), 99.0, np.float32)
+        cfg = small_cfg(mode=ResidualMode.MAX_ERROR, error=0.1)
+        blob = ebcc_tpu.compress(data, cfg)
+        rec = ebcc_tpu.decompress(blob, cfg)
+        np.testing.assert_array_equal(rec, data)
+        assert len(blob) < 128
+
+
+class TestMultiFrame:
+    def test_batch_roundtrip(self, small_frame):
+        rng = np.random.default_rng(0)
+        data = np.stack([small_frame + rng.normal(0, 0.1)
+                         for _ in range(3)]).astype(np.float32)
+        cfg = small_cfg(mode=ResidualMode.MAX_ERROR, error=1.0)
+        blob = ebcc_tpu.compress(data, cfg)
+        rec = ebcc_tpu.decompress(blob, cfg)
+        assert rec.shape == data.shape
+        assert float(np.max(np.abs(rec - data))) <= 1.0
+
+
+@pytest.mark.slow
+class TestERA5FullFrame:
+    def test_relative_error_canonical(self, era5_frame):
+        """The reference's canonical config (test.py): rel error 0.009."""
+        data = era5_frame[None]
+        cfg = EBCCConfig(mode=ResidualMode.RELATIVE_ERROR, error=0.009,
+                         base_cr=100, max_batch=1)
+        blob = ebcc_tpu.compress(data, cfg)
+        rec = ebcc_tpu.decompress(blob, cfg)
+        rng = data.max() - data.min()
+        rel = float(np.max(np.abs(rec - data))) / rng
+        ratio = cr(data, blob)
+        print(f"\nERA5 721x1440 rel-0.009: CR={ratio:.1f}x relerr={rel:.5f}")
+        assert rel <= 0.009
+        assert ratio > 15
