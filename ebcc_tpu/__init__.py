@@ -9,8 +9,11 @@ batched over frames and sharded over device meshes.
 
 from .api import compress, decompress
 from .codec.config import EBCCConfig, ResidualMode
+from .models import (DeltaCompressor, DirectCompressor, PredictiveCompressor,
+                     RateOptimizedCompressor)
 
 __version__ = "0.1.0"
 
 __all__ = ["compress", "decompress", "EBCCConfig", "ResidualMode",
-           "__version__"]
+           "DirectCompressor", "DeltaCompressor", "PredictiveCompressor",
+           "RateOptimizedCompressor", "__version__"]

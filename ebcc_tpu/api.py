@@ -32,6 +32,8 @@ except ImportError:  # pragma: no cover - zstandard is expected in the image
     _zstd = None
 import zlib as _zlib
 
+from .runtime import native as _native
+
 # residual streams smaller than this are dropped (j2k_codec.h:653)
 MIN_RESID_BYTES = 16
 

@@ -1,0 +1,155 @@
+"""Command-line interface: compress / decompress / sweep / info.
+
+Replaces the reference's driver-script layer (SURVEY.md §2.3): the
+``EBCC_Filter`` CLI (filter_wrapper.py:84-140), the sweep drivers
+(scripts/hdf5_compression_sweep.py) and the single-config timing run
+(scripts/hdf5_compression.py), as subcommands of one entry point:
+
+    python -m ebcc_tpu compress IN.npy OUT.ebt --mode max_error --error 0.5
+    python -m ebcc_tpu decompress OUT.ebt REC.npy
+    python -m ebcc_tpu sweep IN.npy --errors 0.1 0.5 1.0 --csv out.csv
+    python -m ebcc_tpu info OUT.ebt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from . import api
+from .codec import container
+from .codec.config import EBCCConfig, ResidualMode
+
+_MODES = {
+    "none": ResidualMode.NONE,
+    "sparsification_factor": ResidualMode.SPARSIFICATION_FACTOR,
+    "max_error": ResidualMode.MAX_ERROR,
+    "relative_error": ResidualMode.RELATIVE_ERROR,
+    "pointwise_max_error": ResidualMode.POINTWISE_MAX_ERROR,
+}
+
+
+def _load(path: str) -> np.ndarray:
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    if path.endswith((".h5", ".hdf5", ".nc")):
+        import h5py
+        with h5py.File(path, "r") as f:
+            # first 2-D+ float dataset
+            for k in f:
+                d = f[k]
+                if getattr(d, "ndim", 0) >= 2:
+                    return np.asarray(d[:], np.float32)
+        raise SystemExit(f"no 2-D dataset found in {path}")
+    raise SystemExit(f"unsupported input format: {path}")
+
+
+def _config(args) -> EBCCConfig:
+    kw = dict(mode=_MODES[args.mode], base_cr=args.base_cr)
+    if args.mode in ("max_error", "relative_error"):
+        kw["error"] = args.error
+    return EBCCConfig(**kw)
+
+
+def cmd_compress(args):
+    data = _load(args.input)
+    cfg = _config(args)
+    t0 = time.perf_counter()
+    blob = api.compress(data, cfg)
+    dt = time.perf_counter() - t0
+    with open(args.output, "wb") as f:
+        f.write(blob)
+    print(json.dumps({"bytes": len(blob), "cr": data.nbytes / len(blob),
+                      "seconds": dt, "MBps": data.nbytes / dt / 1e6}))
+
+
+def cmd_decompress(args):
+    blob = open(args.input, "rb").read()
+    t0 = time.perf_counter()
+    rec = api.decompress(blob)
+    dt = time.perf_counter() - t0
+    np.save(args.output, rec)
+    print(json.dumps({"shape": list(rec.shape), "seconds": dt}))
+
+
+def cmd_sweep(args):
+    """Error-bound sweep: CR + achieved error per bound
+    (scripts/hdf5_compression_sweep.py:118-170 equivalent)."""
+    data = _load(args.input)
+    rows = []
+    for err in args.errors:
+        cfg = EBCCConfig(mode=_MODES[args.mode], error=err,
+                         base_cr=args.base_cr)
+        t0 = time.perf_counter()
+        blob = api.compress(data, cfg)
+        enc_t = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rec = api.decompress(blob, cfg).reshape(data.shape)
+        dec_t = time.perf_counter() - t0
+        achieved = float(np.max(np.abs(rec - data)))
+        rng = float(data.max() - data.min())
+        rows.append(dict(error_target=err, cr=data.nbytes / len(blob),
+                         max_error=achieved, rel_error=achieved / rng,
+                         rmse=float(np.sqrt(np.mean((rec - data) ** 2))),
+                         encode_s=enc_t, decode_s=dec_t))
+        print(json.dumps(rows[-1]))
+    if args.csv:
+        import csv
+        with open(args.csv, "w", newline="") as f:
+            wr = csv.DictWriter(f, fieldnames=list(rows[0]))
+            wr.writeheader()
+            wr.writerows(rows)
+
+
+def cmd_info(args):
+    blob = open(args.input, "rb").read()
+    frames = container.unpack_blob(blob)
+    print(json.dumps({
+        "frames": len(frames),
+        "total_bytes": len(blob),
+        "frame_bytes": [len(f) for f in frames],
+    }))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ebcc_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--mode", choices=sorted(_MODES),
+                        default="max_error")
+        sp.add_argument("--error", type=float, default=1e-2)
+        sp.add_argument("--base-cr", type=float, default=100.0)
+
+    sp = sub.add_parser("compress")
+    sp.add_argument("input")
+    sp.add_argument("output")
+    common(sp)
+    sp.set_defaults(fn=cmd_compress)
+
+    sp = sub.add_parser("decompress")
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.set_defaults(fn=cmd_decompress)
+
+    sp = sub.add_parser("sweep")
+    sp.add_argument("input")
+    sp.add_argument("--errors", type=float, nargs="+", required=True)
+    sp.add_argument("--csv")
+    common(sp)
+    sp.set_defaults(fn=cmd_sweep)
+
+    sp = sub.add_parser("info")
+    sp.add_argument("input")
+    sp.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -71,6 +71,8 @@ def pack_frame(mode: int, h: int, w: int, mn: float, mx: float, *,
 def unpack_frame(buf: bytes):
     """Parse one frame; returns (header: FrameHeader, zblob, base_stream,
     tot_size)."""
+    if len(buf) < _HDR.size or buf[:4] != MAGIC:
+        raise ValueError("not an EBCC-TPU frame")
     magic, ver, flags, mode, h, w, mn, mx, dc_b, base_nbits, max_step_b = \
         _HDR.unpack_from(buf, 0)
     if magic != MAGIC or ver != 1:
@@ -105,9 +107,9 @@ def pack_blob(frames: list) -> bytes:
 
 
 def unpack_blob(blob: bytes) -> list:
-    magic, n = struct.unpack_from("<4sI", blob, 0)
-    if magic != b"EBTB":
+    if len(blob) < 8 or blob[:4] != b"EBTB":
         raise ValueError("not an EBCC-TPU blob")
+    magic, n = struct.unpack_from("<4sI", blob, 0)
     off = 8
     lens = struct.unpack_from(f"<{n}Q", blob, off)
     off += 8 * n

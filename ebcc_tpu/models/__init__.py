@@ -1,0 +1,20 @@
+"""Higher-level compressor families built on the core codec.
+
+The reference's "model zoo" is its family of wrapper compressors
+(/root/reference/ebcc_wrapper/): direct pointwise, delta-in-pressure,
+delta-in-time, rate-optimised (golden-section), forecast-predictive and
+video-baseline.  Each has a TPU-native equivalent here.
+"""
+
+from .delta import DeltaCompressor
+from .direct import DirectCompressor
+from .predictive import PredictiveCompressor, persistence_forecast
+from .rate_opt import RateOptimizedCompressor
+
+__all__ = [
+    "DirectCompressor",
+    "DeltaCompressor",
+    "PredictiveCompressor",
+    "persistence_forecast",
+    "RateOptimizedCompressor",
+]

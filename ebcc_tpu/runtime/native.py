@@ -1,0 +1,166 @@
+"""ctypes loader for the native host runtime (libebcc_host.so).
+
+The reference's runtime is native C (SURVEY.md §2.1); the TPU framework's
+device path is JAX/XLA, and this module is its native *host* runtime: a
+batched zstd entropy stage and batched bitstream repacking, built from
+``native/ebcc_host.cc``.  Everything degrades gracefully to the pure-Python
+implementations in :mod:`ebcc_tpu.api` when the library is missing —
+``HAVE_NATIVE`` tells you which path is active.
+
+Build (once per machine): ``make -C native`` at the repo root, or
+:func:`build` here.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_HERE, "native")
+_LIB_PATH = os.environ.get(
+    "EBCC_HOST_LIB", os.path.join(_NATIVE_DIR, "libebcc_host.so"))
+
+_lib = None
+
+
+def build(quiet: bool = True) -> bool:
+    """Compile the native library in-tree.  Returns success."""
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR],
+                       check=True,
+                       stdout=subprocess.DEVNULL if quiet else None,
+                       stderr=subprocess.DEVNULL if quiet else None)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        if not build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.ebcc_zstd_bound.restype = ctypes.c_size_t
+    lib.ebcc_zstd_bound.argtypes = [ctypes.c_size_t]
+    lib.ebcc_host_version.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+HAVE_NATIVE = _load() is not None
+
+
+def _ptr_array(bufs):
+    arr = (ctypes.POINTER(ctypes.c_uint8) * len(bufs))()
+    for i, b in enumerate(bufs):
+        arr[i] = ctypes.cast(
+            ctypes.c_char_p(b), ctypes.POINTER(ctypes.c_uint8))
+    return arr
+
+
+def zstd_compress_batch(bufs: list[bytes], level: int) -> list[bytes]:
+    """Compress a list of byte strings in parallel native threads."""
+    lib = _load()
+    n = len(bufs)
+    if lib is None or n == 0:
+        raise RuntimeError("native runtime unavailable")
+    max_src = max(len(b) for b in bufs)
+    cap = int(lib.ebcc_zstd_bound(max_src))
+    dst = np.empty(n * cap, np.uint8)
+    sizes_in = np.asarray([len(b) for b in bufs], np.uintp)
+    sizes_out = np.zeros(n, np.uintp)
+    lib.ebcc_zstd_compress_batch(
+        _ptr_array(bufs),
+        sizes_in.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
+        ctypes.c_int(n), ctypes.c_int(level),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_size_t(cap),
+        sizes_out.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)))
+    out = []
+    err = int(np.iinfo(np.uintp).max)
+    for i in range(n):
+        sz = int(sizes_out[i])
+        if sz == err:
+            raise RuntimeError("native zstd compression failed")
+        out.append(dst[i * cap: i * cap + sz].tobytes())
+    return out
+
+
+def zstd_decompress_batch(bufs: list[bytes], max_sizes: list[int]
+                          ) -> list[bytes]:
+    lib = _load()
+    n = len(bufs)
+    if lib is None or n == 0:
+        raise RuntimeError("native runtime unavailable")
+    cap = max(1, max(int(m) for m in max_sizes))
+    dst = np.empty(n * cap, np.uint8)
+    sizes_in = np.asarray([len(b) for b in bufs], np.uintp)
+    sizes_out = np.zeros(n, np.uintp)
+    lib.ebcc_zstd_decompress_batch(
+        _ptr_array(bufs),
+        sizes_in.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
+        ctypes.c_int(n),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_size_t(cap),
+        sizes_out.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)))
+    out = []
+    err = int(np.iinfo(np.uintp).max)
+    for i in range(n):
+        sz = int(sizes_out[i])
+        if sz == err:
+            raise RuntimeError("native zstd decompression failed")
+        out.append(dst[i * cap: i * cap + sz].tobytes())
+    return out
+
+
+def words_to_bytes_batch(words: np.ndarray, nbits: np.ndarray) -> list[bytes]:
+    """[n, nwords] u32 (native endian) + per-frame bit counts -> trimmed
+    big-endian byte streams."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    words = np.ascontiguousarray(words, np.uint32)
+    n, nwords = words.shape
+    nbits = np.ascontiguousarray(nbits, np.int32)
+    stride = nwords * 4
+    dst = np.zeros(n * stride, np.uint8)
+    lib.ebcc_words_to_bytes_batch(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int(n), ctypes.c_int(nwords),
+        nbits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_size_t(stride))
+    return [dst[i * stride: i * stride + (int(nbits[i]) + 7) // 8].tobytes()
+            for i in range(n)]
+
+
+def bytes_to_words_batch(streams: list[bytes], nwords: int) -> np.ndarray:
+    """Byte streams -> zero-padded [n, nwords] u32 word buffers."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    n = len(streams)
+    blob = b"".join(streams)
+    offsets = np.zeros(n, np.uintp)
+    sizes = np.asarray([len(s) for s in streams], np.uintp)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    out = np.zeros((n, nwords), np.uint32)
+    lib.ebcc_bytes_to_words_batch(
+        ctypes.cast(ctypes.c_char_p(blob), ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_size_t)),
+        ctypes.c_int(n),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int(nwords))
+    return out
