@@ -24,6 +24,7 @@ from .codec import container
 from .codec.config import (EBCCConfig, ResidualMode, base_error_quantile,
                            pure_fallback_disabled)
 from .codec.pipeline import FrameCodec
+from .ops import bitplane as bp
 from .utils import logging as elog
 
 try:
@@ -139,19 +140,88 @@ def compress(data, config: EBCCConfig | None = None, *,
         else:
             raise ValueError(f"unsupported mode {mode}")
         res = {k: np.asarray(v) for k, v in res._asdict().items()}
+        streams = _pack_streams(res, codec)
+        zblobs = _zstd_stage(res, streams, hi - lo, config)
         for i in range(hi - lo):
-            out_frames.append(_assemble_frame(res, i, h, w, config, mode))
+            out_frames.append(_assemble_frame(res, i, h, w, config, mode,
+                                              streams, zblobs))
     return container.pack_blob(out_frames)
 
 
-def _assemble_frame(res, i, h, w, config, mode) -> bytes:
+def _zstd_stage(res, streams, n, config):
+    """Entropy-pack residual streams, batched (native threads when built)."""
+    _, resid_stream = streams
+    rbytes = []
+    idx = []
+    for i in range(n):
+        if res["const"][i] or res["skip_residual"][i]:
+            continue
+        rb = resid_stream(i, int(res["resid_bits"][i]))
+        if len(rb) > MIN_RESID_BYTES:
+            rbytes.append(rb)
+            idx.append(i)
+    if not rbytes:
+        return {}
+    if _native.HAVE_NATIVE:
+        packed = _native.zstd_compress_batch(rbytes, config.zstd_level)
+    else:
+        packed = [_zstd_compress(b, config.zstd_level) for b in rbytes]
+    return dict(zip(idx, packed))
+
+
+def _pack_streams(res, codec):
+    """Entropy-pack the chosen (coefficients, truncation) pairs.
+
+    Native host coder when available (native/ebcc_coder.cc); pure-JAX
+    packer (ops/bitplane.py) otherwise.  Returns per-frame callables
+    base(i, bits) / resid(i, bits) yielding trimmed byte streams — any
+    prefix of the embedded stream is valid, so one arena serves both the
+    quantile truncation and the pure-base fallback truncation.
+    """
+    base_spec = codec.base.spec
+    resid_spec = codec.resid.spec
+    trunc_b = np.maximum(res["base_bits_q"],
+                         res["base_bits_pure"]).astype(np.int64)
+    trunc_r = np.where(res["skip_residual"], 0,
+                       res["resid_bits"]).astype(np.int64)
+    if _native.HAVE_NATIVE:
+        base_arena = _native.coder_encode_batch(
+            res["base_coef"], trunc_b, base_spec.group_levels,
+            base_spec.nplanes, base_spec.nchunks)
+        resid_arena = _native.coder_encode_batch(
+            res["resid_coef"], trunc_r, resid_spec.group_levels,
+            resid_spec.nplanes, resid_spec.nchunks)
+
+        def base(i, bits):
+            return base_arena[i, : (int(bits) + 7) // 8].tobytes()
+
+        def resid(i, bits):
+            return resid_arena[i, : (int(bits) + 7) // 8].tobytes()
+    else:
+        bw, _, _ = bp.encode_batch(res["base_coef"], trunc_b.astype(np.int32),
+                                   base_spec, codec.base.cap_words)
+        rw, _, _ = bp.encode_batch(res["resid_coef"],
+                                   trunc_r.astype(np.int32),
+                                   resid_spec, codec.resid.cap_words)
+        bw, rw = np.asarray(bw), np.asarray(rw)
+
+        def base(i, bits):
+            return _words_to_bytes(bw[i], int(bits))
+
+        def resid(i, bits):
+            return _words_to_bytes(rw[i], int(bits))
+
+    return base, resid
+
+
+def _assemble_frame(res, i, h, w, config, mode, streams, zblobs) -> bytes:
     mn, mx = float(res["mn"][i]), float(res["mx"][i])
     if res["const"][i]:
         return container.pack_frame(int(mode), h, w, mn, mx, const=True,
                                     tot_size=h * w)
+    base_stream, _ = streams
     bits_q = int(res["base_bits_q"][i])
     bits_pure = int(res["base_bits_pure"][i])
-    words = res["base_words"][i]
     base_meta = dict(dc_b=float(res["dc_b"][i]),
                      max_step_b=int(res["max_step_b"][i]))
     skip = bool(res["skip_residual"][i])
@@ -163,9 +233,8 @@ def _assemble_frame(res, i, h, w, config, mode) -> bytes:
     resid_part = None
     if not skip:
         rbits = int(res["resid_bits"][i])
-        rbytes = _words_to_bytes(res["resid_words"][i], rbits)
-        if len(rbytes) > MIN_RESID_BYTES:
-            zblob = _zstd_compress(rbytes, config.zstd_level)
+        zblob = zblobs.get(i)
+        if zblob is not None:
             resid_part = (float(res["rmin"][i]), float(res["rmax"][i]),
                           float(res["dc_r"][i]), int(res["max_step_r"][i]),
                           rbits, zblob)
@@ -175,7 +244,7 @@ def _assemble_frame(res, i, h, w, config, mode) -> bytes:
 
     combined = container.pack_frame(
         int(mode), h, w, mn, mx,
-        base_stream=_words_to_bytes(words, bits_q), base_nbits=bits_q,
+        base_stream=base_stream(i, bits_q), base_nbits=bits_q,
         resid=resid_part,
         pointwise=mode == ResidualMode.POINTWISE_MAX_ERROR, **base_meta)
     if not error_bounded:
@@ -186,7 +255,7 @@ def _assemble_frame(res, i, h, w, config, mode) -> bytes:
         return combined
     pure = container.pack_frame(
         int(mode), h, w, mn, mx,
-        base_stream=_words_to_bytes(words, bits_pure), base_nbits=bits_pure,
+        base_stream=base_stream(i, bits_pure), base_nbits=bits_pure,
         pointwise=mode == ResidualMode.POINTWISE_MAX_ERROR, **base_meta)
     if pure_required or len(pure) < len(combined):
         elog.info("frame %d: pure base layer chosen (%d < %d bytes)",
@@ -216,35 +285,59 @@ def decompress(blob: bytes, config: EBCCConfig | None = None) -> np.ndarray:
     bsz = config.max_batch
     for lo, hi in _batches(len(todo), bsz):
         idxs = todo[lo:hi]
-        nb = len(idxs)
-        bw = np.zeros((bsz, codec.base.cap_words), np.uint32)
+        base_streams = [b""] * bsz
+        resid_streams = [b""] * bsz
         bb = np.zeros(bsz, np.int32)
         msb_ = np.zeros(bsz, np.int32)
         mn = np.zeros(bsz, np.float32)
         mx = np.zeros(bsz, np.float32)
         dcb = np.zeros(bsz, np.float32)
         hasr = np.zeros(bsz, bool)
-        rw = np.zeros((bsz, codec.resid.cap_words), np.uint32)
         rb = np.zeros(bsz, np.int32)
         msr = np.zeros(bsz, np.int32)
         rmn = np.zeros(bsz, np.float32)
         rmx = np.zeros(bsz, np.float32)
         dcr = np.zeros(bsz, np.float32)
+        zlist, zmax, zpos = [], [], []
         for k, idx in enumerate(idxs):
             hdr, zblob, base_stream, _ = metas[idx]
-            bw[k] = _bytes_to_words(base_stream, codec.base.cap_words)
+            base_streams[k] = base_stream
             bb[k] = hdr.base_nbits
             msb_[k] = hdr.max_step_b
             mn[k], mx[k], dcb[k] = hdr.mn, hdr.mx, hdr.dc_b
             if hdr.flags & container.FLAG_RESID:
-                rbytes = _zstd_decompress(zblob, (hdr.resid_nbits + 7) // 8)
-                rw[k] = _bytes_to_words(rbytes, codec.resid.cap_words)
+                zlist.append(zblob)
+                zmax.append((hdr.resid_nbits + 7) // 8)
+                zpos.append(k)
                 rb[k] = hdr.resid_nbits
                 msr[k] = hdr.max_step_r
                 rmn[k], rmx[k], dcr[k] = hdr.rmin, hdr.rmax, hdr.dc_r
                 hasr[k] = True
-        dec = np.asarray(codec.decode(bw, bb, msb_, mn, mx, dcb, hasr,
-                                      rw, rb, msr, rmn, rmx, dcr))
+        if zlist:
+            if _native.HAVE_NATIVE:
+                unpacked = _native.zstd_decompress_batch(zlist, zmax)
+            else:
+                unpacked = [_zstd_decompress(z, m)
+                            for z, m in zip(zlist, zmax)]
+            for k, rbytes in zip(zpos, unpacked):
+                resid_streams[k] = rbytes
+        if _native.HAVE_NATIVE:
+            bspec, rspec = codec.base.spec, codec.resid.spec
+            coef_b = _native.coder_decode_batch(
+                base_streams, bb, msb_, bspec.height, bspec.width,
+                bspec.group_levels, bspec.nplanes, bspec.nchunks)
+            coef_r = _native.coder_decode_batch(
+                resid_streams, rb, msr, rspec.height, rspec.width,
+                rspec.group_levels, rspec.nplanes, rspec.nchunks)
+            dec = np.asarray(codec.recon(coef_b, mn, mx, dcb, hasr,
+                                         coef_r, rmn, rmx, dcr))
+        else:
+            bw = np.stack([_bytes_to_words(s, codec.base.cap_words)
+                           for s in base_streams])
+            rw = np.stack([_bytes_to_words(s, codec.resid.cap_words)
+                           for s in resid_streams])
+            dec = np.asarray(codec.decode(bw, bb, msb_, mn, mx, dcb, hasr,
+                                          rw, rb, msr, rmn, rmx, dcr))
         for k, idx in enumerate(idxs):
             out[idx] = dec[k]
     return np.stack(out)

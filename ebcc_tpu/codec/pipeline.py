@@ -55,14 +55,22 @@ def _make_geom(h, w, levels, nplanes, nchunks, cap_bits_per_px):
 
 
 class EncodeResult(NamedTuple):
-    """Device outputs of one batched encode call (all leading dim B)."""
+    """Device outputs of one batched encode call (all leading dim B).
+
+    The bitstreams themselves are NOT packed on device: the transform +
+    truncation search runs on the TPU, and the chosen (coefficients,
+    truncation) pairs are turned into bytes by the native host coder
+    (native/ebcc_coder.cc) — mirroring the split in the reference, whose
+    entropy stage is also host-native.  ``bp.encode_batch`` remains as the
+    pure-JAX fallback packer.
+    """
 
     mn: jax.Array
     mx: jax.Array
     const: jax.Array            # bool: constant field
     dc_b: jax.Array
     max_step_b: jax.Array
-    base_words: jax.Array       # packed to max(bits_q, bits_pure)
+    base_coef: jax.Array        # int32 [B, hp, wp] weighted base coefficients
     base_bits_q: jax.Array      # truncation meeting the feasibility quantile
     base_bits_pure: jax.Array   # truncation meeting the bound everywhere
     base_feasible_pure: jax.Array  # bool: pure base meets bound everywhere
@@ -70,7 +78,7 @@ class EncodeResult(NamedTuple):
     rmax: jax.Array
     dc_r: jax.Array
     max_step_r: jax.Array
-    resid_words: jax.Array
+    resid_coef: jax.Array       # int32 [B, hp_r, wp_r] residual coefficients
     resid_bits: jax.Array
     resid_feasible: jax.Array   # bool: base@q + residual meets the bound
     skip_residual: jax.Array    # bool: base@q alone already meets the bound
@@ -93,6 +101,7 @@ class FrameCodec:
         self._encode_eb = jax.jit(self._encode_error_bounded)
         self._encode_rate = jax.jit(self._encode_rate_targeted)
         self._decode = jax.jit(self._decode_stage)
+        self._recon = jax.jit(self._recon_stage)
 
     # ---------------- shared transform helpers ----------------
 
@@ -264,21 +273,12 @@ class FrameCodec:
         resid_bits, resid_feas, _, _, _ = self._search_truncation(
             an_r, self.resid, recon_r, data, target, jnp.float32(0.0))
 
-        base_words, _ = jax.vmap(
-            lambda a, tb: bp.encode_frame(a, tb, self.base.spec,
-                                          self.base.cap_words))(
-            an_b, jnp.maximum(bits_q, bits_pure))
-        resid_words, _ = jax.vmap(
-            lambda a, tb: bp.encode_frame(a, tb, self.resid.spec,
-                                          self.resid.cap_words))(
-            an_r, jnp.where(skip_residual, 0, resid_bits))
-
         return EncodeResult(
             mn=mn, mx=mx, const=const, dc_b=dc, max_step_b=an_b.max_step,
-            base_words=base_words, base_bits_q=bits_q,
+            base_coef=ci, base_bits_q=bits_q,
             base_bits_pure=bits_pure, base_feasible_pure=feas_pure,
             rmin=rmin, rmax=rmax, dc_r=dcr, max_step_r=an_r.max_step,
-            resid_words=resid_words, resid_bits=resid_bits,
+            resid_coef=cir, resid_bits=resid_bits,
             resid_feasible=resid_feas, skip_residual=skip_residual)
 
     def _encode_rate_targeted(self, data, base_budget_bits, resid_budget_bits):
@@ -299,10 +299,6 @@ class FrameCodec:
         bs = self.base.spec.nplanes - 1 - idx // nk
         ks = idx % nk
 
-        base_words, _ = jax.vmap(
-            lambda a, tb: bp.encode_frame(a, tb, self.base.spec,
-                                          self.base.cap_words))(an_b, bits_b)
-
         base_rec = self._base_recon(self._recon_at(an_b, self.base, bs, ks),
                                     mn, mx, dc)
         resid = data - base_rec
@@ -316,33 +312,37 @@ class FrameCodec:
                          cand_r.shape[-1] - 1)
         bits_r = jnp.take_along_axis(cand_r, idx_r[:, None], axis=1)[:, 0]
         use_resid = resid_budget_bits > 0
-        resid_words, _ = jax.vmap(
-            lambda a, tb: bp.encode_frame(a, tb, self.resid.spec,
-                                          self.resid.cap_words))(
-            an_r, jnp.where(use_resid, bits_r, 0))
 
-        zero = jnp.zeros_like(mn)
         return EncodeResult(
             mn=mn, mx=mx, const=const, dc_b=dc, max_step_b=an_b.max_step,
-            base_words=base_words, base_bits_q=bits_b,
+            base_coef=ci, base_bits_q=bits_b,
             base_bits_pure=bits_b, base_feasible_pure=jnp.zeros_like(const),
             rmin=rmin, rmax=rmax, dc_r=dcr, max_step_r=an_r.max_step,
-            resid_words=resid_words,
+            resid_coef=cir,
             resid_bits=jnp.where(use_resid, bits_r, 0),
             resid_feasible=use_resid, skip_residual=~use_resid)
 
-    # ---------------- decode stage ----------------
+    # ---------------- decode stages ----------------
+
+    def _recon_stage(self, coef_b, mn, mx, dc, has_resid, coef_r,
+                     rmin, rmax, dcr):
+        """Dequantise + inverse transform from float coefficient planes
+        (the structural bitstream decode happens in the native host coder,
+        native/ebcc_coder.cc)."""
+        out = self._base_recon(coef_b, mn, mx, dc)
+        resid = self._resid_recon(coef_r, rmin, rmax, dcr)
+        return out + jnp.where(has_resid[:, None, None], resid, 0.0)
 
     def _decode_stage(self, base_words, base_bits, max_step_b, mn, mx, dc,
                       has_resid, resid_words, resid_bits, max_step_r,
                       rmin, rmax, dcr):
+        """Pure-JAX decode path (fallback + the all-device dryrun path)."""
         rc = bp.decode_batch(base_words, base_bits, max_step_b,
                              self.base.spec)
-        out = self._base_recon(rc, mn, mx, dc)
         rr = bp.decode_batch(resid_words, resid_bits, max_step_r,
                              self.resid.spec)
-        resid = self._resid_recon(rr, rmin, rmax, dcr)
-        return out + jnp.where(has_resid[:, None, None], resid, 0.0)
+        return self._recon_stage(rc, mn, mx, dc, has_resid, rr,
+                                 rmin, rmax, dcr)
 
     # ---------------- public (device-level) API ----------------
 
@@ -353,4 +353,9 @@ class FrameCodec:
         return self._encode_rate(data, base_budget_bits, resid_budget_bits)
 
     def decode(self, *args):
+        """Decode from packed word buffers (pure-JAX path)."""
         return self._decode(*args)
+
+    def recon(self, *args):
+        """Reconstruct frames from structurally-decoded coefficients."""
+        return self._recon(*args)

@@ -145,6 +145,65 @@ def words_to_bytes_batch(words: np.ndarray, nbits: np.ndarray) -> list[bytes]:
             for i in range(n)]
 
 
+def coder_encode_batch(coef: np.ndarray, trunc_bits: np.ndarray,
+                       group_levels: int, nplanes: int, nchunks: int
+                       ) -> np.ndarray:
+    """Native bitplane encode (native/ebcc_coder.cc).
+
+    ``coef``: int32 [n, h, w] weighted coefficients; ``trunc_bits``: per-
+    frame truncation.  Returns a uint8 arena [n, cap_bytes]; frame i's
+    stream is ``arena[i, : (bits + 7) // 8]`` for any prefix
+    ``bits <= trunc_bits[i]`` (embedded stream).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    coef = np.ascontiguousarray(coef, np.int32)
+    n, h, w = coef.shape
+    trunc = np.ascontiguousarray(trunc_bits, np.int64)
+    cap_bytes = max(8, (int(trunc.max(initial=0)) + 7) // 8)
+    out = np.zeros((n, cap_bytes), np.uint8)
+    lib.ebcc_coder_encode_batch(
+        coef.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int(n), ctypes.c_int(h), ctypes.c_int(w),
+        ctypes.c_int(group_levels), ctypes.c_int(nplanes),
+        ctypes.c_int(nchunks),
+        trunc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(cap_bytes))
+    return out
+
+
+def coder_decode_batch(streams: list[bytes], nbits: np.ndarray,
+                       max_step: np.ndarray, h: int, w: int,
+                       group_levels: int, nplanes: int, nchunks: int
+                       ) -> np.ndarray:
+    """Native structural decode -> float32 midpoint coefficients [n, h, w]."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    n = len(streams)
+    blob = b"".join(streams)
+    sizes = np.asarray([len(s) for s in streams], np.int64)
+    offsets = np.zeros(n, np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    nbits = np.ascontiguousarray(nbits, np.int64)
+    # clamp declared bits to the bytes actually present
+    nbits = np.minimum(nbits, sizes * 8)
+    max_step = np.ascontiguousarray(max_step, np.int32)
+    out = np.empty((n, h, w), np.float32)
+    lib.ebcc_coder_decode_batch(
+        ctypes.cast(ctypes.c_char_p(blob), ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nbits.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        max_step.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int(n), ctypes.c_int(h), ctypes.c_int(w),
+        ctypes.c_int(group_levels), ctypes.c_int(nplanes),
+        ctypes.c_int(nchunks),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
 def bytes_to_words_batch(streams: list[bytes], nwords: int) -> np.ndarray:
     """Byte streams -> zero-padded [n, nwords] u32 word buffers."""
     lib = _load()

@@ -1,0 +1,270 @@
+// Native bitplane coder: the entropy stage of the EBCC-TPU codec.
+//
+// The stream layout is EXACTLY the layout produced/consumed by the JAX
+// reference packers (ebcc_tpu/ops/bitplane.py encode_frame/decode_frame) —
+// per bitplane b from high to low:
+//   [group significance, quadtree level G..1, row-major]
+//   per stripe chunk j: [coeff significance bits][signs of new coeffs]
+//   per stripe chunk j: [refinement bits of old coeffs]
+// Bits are MSB-first within bytes.  Reads past the stream end yield 0.
+//
+// Rationale: bit-serial packing is the one stage of the pipeline that maps
+// badly onto the TPU (1M-element scatters per segment per plane); the
+// reference implements the analogous stage (SPIHT, spiht_re.c) natively too.
+// Transforms, quantisation and the truncation search stay on device; this
+// library only turns already-chosen (coefficients, truncation) pairs into
+// bytes and back, batched over frames with one thread per frame.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Spec {
+  int h, w, g, nplanes, nchunks;
+};
+
+static inline int msb_of(uint32_t v) {
+  return v ? 31 - __builtin_clz(v) : -1;
+}
+
+// Per-frame encoder.  coef: int32 [h*w].  out: zeroed byte buffer of
+// cap_bytes.  Emits bits until trunc_bits, then stops (the remaining stream
+// length is known to the caller from the device-side counts).
+void encode_one(const int32_t* coef, const Spec& s, int64_t trunc_bits,
+                uint8_t* out) {
+  const int h = s.h, w = s.w, g = s.g, J = s.nchunks;
+  const size_t n = (size_t)h * w;
+  std::vector<int8_t> msb(n);
+  std::vector<uint32_t> mag(n);
+  std::vector<uint8_t> neg(n);
+  int max_step = 0;
+  for (size_t i = 0; i < n; ++i) {
+    int32_t v = coef[i];
+    uint32_t m = (uint32_t)(v < 0 ? -(int64_t)v : v);
+    mag[i] = m;
+    neg[i] = v < 0;
+    int b = msb_of(m);
+    msb[i] = (int8_t)b;
+    if (b > max_step) max_step = b;
+  }
+  // smax pyramid: level k has dims (h>>k, w>>k); smax[0] == msb.
+  std::vector<std::vector<int8_t>> smax(g + 1);
+  smax[0] = msb;
+  for (int k = 1; k <= g; ++k) {
+    int hk = h >> k, wk = w >> k;
+    smax[k].resize((size_t)hk * wk);
+    const int8_t* prev = smax[k - 1].data();
+    int wp = w >> (k - 1);
+    for (int r = 0; r < hk; ++r)
+      for (int c = 0; c < wk; ++c) {
+        int8_t a = prev[(2 * r) * wp + 2 * c];
+        int8_t b2 = prev[(2 * r) * wp + 2 * c + 1];
+        int8_t c2 = prev[(2 * r + 1) * wp + 2 * c];
+        int8_t d = prev[(2 * r + 1) * wp + 2 * c + 1];
+        int8_t m = a > b2 ? a : b2;
+        if (c2 > m) m = c2;
+        if (d > m) m = d;
+        smax[k][(size_t)r * wk + c] = m;
+      }
+  }
+
+  int64_t pos = 0;
+  auto emit = [&](int bit) {
+    if (pos < trunc_bits && bit) out[pos >> 3] |= (uint8_t)(0x80u >> (pos & 7));
+    ++pos;
+  };
+
+  for (int b = s.nplanes - 1; b >= 0 && pos < trunc_bits; --b) {
+    // group levels g..1
+    for (int k = g; k >= 1; --k) {
+      int hk = h >> k, wk = w >> k;
+      const int8_t* sk = smax[k].data();
+      if (k == g) {
+        bool par = max_step >= b;
+        if (par) {
+          for (size_t i = 0; i < (size_t)hk * wk; ++i)
+            if (sk[i] <= b) emit(sk[i] == b);
+        }
+      } else {
+        const int8_t* sp = smax[k + 1].data();
+        int wk1 = wk >> 1;
+        for (int r = 0; r < hk; ++r)
+          for (int c = 0; c < wk; ++c) {
+            if (sp[(size_t)(r >> 1) * wk1 + (c >> 1)] >= b &&
+                sk[(size_t)r * wk + c] <= b)
+              emit(sk[(size_t)r * wk + c] == b);
+          }
+      }
+    }
+    // level-0 passes over J row stripes
+    const int8_t* s1 = smax[1].data();
+    int w1 = w >> 1;
+    for (int j = 0; j < J; ++j) {
+      // stripe j: rows r with (r*J)/h == j
+      int r0 = (j * h + J - 1) / J, r1 = ((j + 1) * h + J - 1) / J;
+      // significance bits
+      for (int r = r0; r < r1; ++r)
+        for (int c = 0; c < w; ++c) {
+          size_t i = (size_t)r * w + c;
+          if (s1[(size_t)(r >> 1) * w1 + (c >> 1)] >= b && msb[i] <= b)
+            emit(msb[i] == b);
+        }
+      // sign bits of newly-significant coeffs
+      for (int r = r0; r < r1; ++r)
+        for (int c = 0; c < w; ++c) {
+          size_t i = (size_t)r * w + c;
+          if (msb[i] == b) emit(neg[i]);
+        }
+    }
+    // refinement passes
+    for (int j = 0; j < J; ++j) {
+      int r0 = (j * h + J - 1) / J, r1 = ((j + 1) * h + J - 1) / J;
+      for (int r = r0; r < r1; ++r)
+        for (int c = 0; c < w; ++c) {
+          size_t i = (size_t)r * w + c;
+          if (msb[i] > b) emit((mag[i] >> b) & 1);
+        }
+    }
+  }
+}
+
+// Per-frame decoder: bytes -> float32 midpoint-reconstructed coefficients.
+void decode_one(const uint8_t* bytes, int64_t nbits, int max_step,
+                const Spec& s, float* out) {
+  const int h = s.h, w = s.w, g = s.g, J = s.nchunks;
+  const size_t n = (size_t)h * w;
+  std::vector<uint8_t> sig0(n, 0), neg(n, 0);
+  std::vector<uint32_t> mag(n, 0);
+  std::vector<int16_t> last(n, (int16_t)s.nplanes);
+  std::vector<int16_t> newp(n, -1);  // plane at which coeff became significant
+  std::vector<std::vector<uint8_t>> sig(g + 1);
+  for (int k = 1; k <= g; ++k) sig[k].assign((size_t)(h >> k) * (w >> k), 0);
+
+  int64_t pos = 0;
+  auto read = [&]() -> int {
+    int bit = 0;
+    if (pos < nbits) bit = (bytes[pos >> 3] >> (7 - (pos & 7))) & 1;
+    ++pos;
+    return bit;
+  };
+
+  for (int b = s.nplanes - 1; b >= 0 && pos < nbits; --b) {
+    for (int k = g; k >= 1; --k) {
+      int hk = h >> k, wk = w >> k;
+      uint8_t* sk = sig[k].data();
+      if (k == g) {
+        if (max_step >= b) {
+          for (size_t i = 0; i < (size_t)hk * wk; ++i)
+            if (!sk[i] && read()) sk[i] = 1;
+        }
+      } else {
+        const uint8_t* sp = sig[k + 1].data();
+        int wk1 = wk >> 1;
+        for (int r = 0; r < hk; ++r)
+          for (int c = 0; c < wk; ++c) {
+            size_t i = (size_t)r * wk + c;
+            if (sp[(size_t)(r >> 1) * wk1 + (c >> 1)] && !sk[i])
+              if (read()) sk[i] = 1;
+          }
+      }
+    }
+    const uint8_t* s1 = sig[1].data();
+    int w1 = w >> 1;
+    for (int j = 0; j < J; ++j) {
+      int r0 = (j * h + J - 1) / J, r1 = ((j + 1) * h + J - 1) / J;
+      for (int r = r0; r < r1; ++r)
+        for (int c = 0; c < w; ++c) {
+          size_t i = (size_t)r * w + c;
+          if (s1[(size_t)(r >> 1) * w1 + (c >> 1)] && !sig0[i]) {
+            if (read()) {
+              sig0[i] = 1;
+              mag[i] = 1u << b;
+              last[i] = (int16_t)b;
+              newp[i] = (int16_t)b;
+            }
+          }
+        }
+      for (int r = r0; r < r1; ++r)
+        for (int c = 0; c < w; ++c) {
+          size_t i = (size_t)r * w + c;
+          if (newp[i] == b) neg[i] = (uint8_t)read();
+        }
+    }
+    for (int j = 0; j < J; ++j) {
+      int r0 = (j * h + J - 1) / J, r1 = ((j + 1) * h + J - 1) / J;
+      for (int r = r0; r < r1; ++r)
+        for (int c = 0; c < w; ++c) {
+          size_t i = (size_t)r * w + c;
+          if (sig0[i] && newp[i] != b) {
+            if (pos < nbits) {
+              mag[i] |= (uint32_t)read() << b;
+              last[i] = (int16_t)b;
+            } else {
+              ++pos;  // past-the-end read: state frozen, position advances
+            }
+          }
+        }
+    }
+  }
+  for (size_t i = 0; i < n; ++i) {
+    if (!sig0[i]) {
+      out[i] = 0.0f;
+    } else {
+      float half =
+          last[i] > 0 ? (std::ldexp(1.0f, last[i]) - 1.0f) * 0.5f : 0.0f;
+      float v = (float)mag[i] + half;
+      out[i] = neg[i] ? -v : v;
+    }
+  }
+}
+
+void run_threads(int n, int nthreads, const std::function<void(int)>& fn) {
+  if (nthreads > n) nthreads = n;
+  if (nthreads < 1) nthreads = 1;
+  std::vector<std::thread> ts;
+  ts.reserve(nthreads);
+  for (int t = 0; t < nthreads; ++t)
+    ts.emplace_back([&, t]() {
+      for (int i = t; i < n; i += nthreads) fn(i);
+    });
+  for (auto& th : ts) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// coef: int32 [n, h*w]; trunc_bits: int64 [n]; out: zeroed uint8
+// [n, cap_bytes] arena.
+void ebcc_coder_encode_batch(const int32_t* coef, int n, int h, int w, int g,
+                             int nplanes, int nchunks,
+                             const int64_t* trunc_bits, uint8_t* out,
+                             int64_t cap_bytes) {
+  Spec s{h, w, g, nplanes, nchunks};
+  int hw = (int)std::thread::hardware_concurrency();
+  run_threads(n, hw, [&](int i) {
+    encode_one(coef + (size_t)i * h * w, s, trunc_bits[i],
+               out + (size_t)i * cap_bytes);
+  });
+}
+
+// bytes: concatenated streams; offsets/sizes in bytes; nbits: stored stream
+// lengths in bits; max_step: per-frame top plane.  out: float32 [n, h*w].
+void ebcc_coder_decode_batch(const uint8_t* bytes, const int64_t* offsets,
+                             const int64_t* nbits, const int32_t* max_step,
+                             int n, int h, int w, int g, int nplanes,
+                             int nchunks, float* out) {
+  Spec s{h, w, g, nplanes, nchunks};
+  int hw = (int)std::thread::hardware_concurrency();
+  run_threads(n, hw, [&](int i) {
+    decode_one(bytes + offsets[i], nbits[i], max_step[i], s,
+               out + (size_t)i * h * w);
+  });
+}
+
+}  // extern "C"

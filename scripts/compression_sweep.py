@@ -1,0 +1,95 @@
+"""Compression sweep: lossless baselines vs EBCC-TPU error-bound grid.
+
+TPU-native equivalent of /root/reference/scripts/hdf5_compression_sweep.py:
+runs gzip/lzf lossless baselines (:87-94 there) and an EBCC max-error sweep
+(:118-170) over a stack of frames, writing one CSV.  Where the reference
+fans out with multiprocessing.Pool, the sweep here batches all frames into
+one device dispatch per bound.
+
+Usage:
+    python scripts/compression_sweep.py INPUT.npy --errors 0.1 0.5 1.0 \
+        --out sweep.csv
+"""
+
+import argparse
+import csv
+import json
+import time
+
+import numpy as np
+
+
+def lossless_baselines(data: np.ndarray):
+    """gzip/lzf-style lossless baselines via zlib / zstd."""
+    import zlib
+    rows = []
+    raw = data.tobytes()
+    for name, fn in [
+        ("zlib-6", lambda b: zlib.compress(b, 6)),
+        ("zlib-9", lambda b: zlib.compress(b, 9)),
+    ]:
+        t0 = time.perf_counter()
+        blob = fn(raw)
+        rows.append(dict(method=name, error_target=0.0,
+                         cr=len(raw) / len(blob), max_error=0.0,
+                         rmse=0.0, encode_s=time.perf_counter() - t0,
+                         decode_s=0.0))
+    try:
+        import zstandard as zstd
+        t0 = time.perf_counter()
+        blob = zstd.ZstdCompressor(level=9).compress(raw)
+        rows.append(dict(method="zstd-9", error_target=0.0,
+                         cr=len(raw) / len(blob), max_error=0.0,
+                         rmse=0.0, encode_s=time.perf_counter() - t0,
+                         decode_s=0.0))
+    except ImportError:
+        pass
+    return rows
+
+
+def ebcc_sweep(data: np.ndarray, errors, mode: str, base_cr: float):
+    import ebcc_tpu
+    from ebcc_tpu import EBCCConfig, ResidualMode
+    m = ResidualMode[mode.upper()]
+    rows = []
+    for err in errors:
+        cfg = EBCCConfig(mode=m, error=err, base_cr=base_cr)
+        t0 = time.perf_counter()
+        blob = ebcc_tpu.compress(data, cfg)
+        enc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rec = ebcc_tpu.decompress(blob, cfg).reshape(data.shape)
+        dec = time.perf_counter() - t0
+        diff = np.abs(rec - data)
+        rows.append(dict(method=f"ebcc-{mode}", error_target=err,
+                         cr=data.nbytes / len(blob),
+                         max_error=float(diff.max()),
+                         rmse=float(np.sqrt(np.mean(diff ** 2))),
+                         encode_s=enc, decode_s=dec))
+        print(json.dumps(rows[-1]))
+    return rows
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("input")
+    p.add_argument("--errors", type=float, nargs="+",
+                   default=[0.1, 0.5, 1.0, 2.0])
+    p.add_argument("--mode", default="max_error",
+                   choices=["max_error", "relative_error"])
+    p.add_argument("--base-cr", type=float, default=100.0)
+    p.add_argument("--out", default="sweep.csv")
+    args = p.parse_args()
+
+    data = np.load(args.input).astype(np.float32)
+    rows = lossless_baselines(data)
+    rows += ebcc_sweep(data, args.errors, args.mode, args.base_cr)
+    with open(args.out, "w", newline="") as f:
+        wr = csv.DictWriter(f, fieldnames=list(rows[0]))
+        wr.writeheader()
+        wr.writerows(rows)
+    print(f"wrote {args.out} ({len(rows)} rows)")
+
+
+if __name__ == "__main__":
+    main()

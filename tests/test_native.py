@@ -1,0 +1,81 @@
+"""Native host coder must be bit-exact with the JAX reference packer.
+
+The JAX packer (ops/bitplane.py) defines the stream format; the native coder
+(native/ebcc_coder.cc) is the production entropy stage.  Any byte difference
+is a bug in one of them.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from ebcc_tpu.ops import bitplane as bp
+from ebcc_tpu.runtime import native
+
+if not native.HAVE_NATIVE:  # pragma: no cover
+    pytest.skip("native runtime not built", allow_module_level=True)
+
+H, W, G, P, J = 32, 64, 4, 12, 4
+SPEC = bp.CoderSpec(height=H, width=W, group_levels=G, nplanes=P, nchunks=J)
+CAP_WORDS = (H * W * 16 + 31) // 32
+
+
+@pytest.fixture(scope="module")
+def coefs():
+    rng = np.random.default_rng(3)
+    c = rng.laplace(0, 30, (4, H, W)).astype(np.int32)
+    c[1] = 0                      # all-zero frame
+    c[2, ::7, ::5] = 2047         # sparse large coefficients
+    return c
+
+
+@pytest.fixture(scope="module")
+def packed(coefs):
+    counts = bp.segment_counts(bp.analyze(jnp.asarray(coefs), SPEC), SPEC)
+    _, totals = bp.offsets_from_counts(counts)
+    totals = np.asarray(totals)
+    words, tot, ms = bp.encode_batch(jnp.asarray(coefs),
+                                     jnp.asarray(totals, jnp.int32),
+                                     SPEC, CAP_WORDS)
+    return totals, np.asarray(words), np.asarray(ms)
+
+
+def test_encode_bit_exact(coefs, packed):
+    totals, words, _ = packed
+    arena = native.coder_encode_batch(coefs, totals.astype(np.int64),
+                                      G, P, J)
+    for i in range(len(coefs)):
+        nb = (int(totals[i]) + 7) // 8
+        jax_bytes = words[i].astype(">u4").tobytes()[:nb]
+        assert arena[i, :nb].tobytes() == jax_bytes, f"frame {i}"
+
+
+def test_decode_matches_jax_at_truncations(coefs, packed):
+    totals, words, ms = packed
+    full = [words[i].astype(">u4").tobytes()[: (int(totals[i]) + 7) // 8]
+            for i in range(len(coefs))]
+    for frac in (1.0, 0.4, 0.05):
+        nb = (totals * frac).astype(np.int64)
+        streams = [full[i][: (int(nb[i]) + 7) // 8]
+                   for i in range(len(coefs))]
+        dn = native.coder_decode_batch(streams, nb, ms, H, W, G, P, J)
+        ww = np.zeros((len(coefs), CAP_WORDS), np.uint32)
+        for i, s in enumerate(streams):
+            v = np.frombuffer(s + b"\0" * (-len(s) % 4), ">u4")
+            ww[i, : len(v)] = v
+        dj = np.asarray(bp.decode_batch(jnp.asarray(ww),
+                                        jnp.asarray(nb, jnp.int32),
+                                        jnp.asarray(ms), SPEC))
+        assert np.array_equal(dn, dj), f"frac={frac}"
+
+
+def test_roundtrip_full_stream_is_lossless_ints(coefs, packed):
+    """At full stream length the midpoint reconstruction equals the
+    integer coefficients exactly (uncertainty interval is empty)."""
+    totals, words, ms = packed
+    streams = [words[i].astype(">u4").tobytes()[: (int(totals[i]) + 7) // 8]
+               for i in range(len(coefs))]
+    dn = native.coder_decode_batch(streams, totals.astype(np.int64), ms,
+                                   H, W, G, P, J)
+    assert np.array_equal(dn, coefs.astype(np.float32))
