@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 import math
 
+import jax
 import numpy as np
 
 from .codec import container
@@ -37,6 +38,10 @@ from .runtime import native as _native
 
 # residual streams smaller than this are dropped (j2k_codec.h:653)
 MIN_RESID_BYTES = 16
+
+# EncodeResult fields holding full-precision coefficient planes (fetched
+# from device only on the fallback path)
+_F32_COEF_FIELDS = ("base_coef", "resid_coef")
 
 
 def _zstd_compress(data: bytes, level: int) -> bytes:
@@ -108,6 +113,25 @@ def compress(data, config: EBCCConfig | None = None, *,
 
     out_frames = []
     bsz = config.max_batch
+    pending = []  # (n_valid, EncodeResult) — device results in flight
+
+    def drain(entry):
+        nb_valid, res = entry
+        rd = res._asdict()
+        # the float32 coefficient planes are only fetched on the rare
+        # fallback path (>15 coded planes or no native coder); everything
+        # else was async-prefetched
+        resn = jax.device_get({k: v for k, v in rd.items()
+                               if k not in _F32_COEF_FIELDS})
+        if not (_native.HAVE_NATIVE and resn["pack16_ok"].all()):
+            for k in _F32_COEF_FIELDS:
+                resn[k] = np.asarray(rd[k])
+        streams = _pack_streams(resn, codec)
+        zblobs = _zstd_stage(resn, streams, nb_valid, config)
+        for i in range(nb_valid):
+            out_frames.append(_assemble_frame(resn, i, h, w, config, mode,
+                                              streams, zblobs))
+
     for lo, hi in _batches(n, bsz):
         batch = frames[lo:hi]
         nb = batch.shape[0]
@@ -139,12 +163,20 @@ def compress(data, config: EBCCConfig | None = None, *,
             res = codec.encode_rate_targeted(batch, base_budget, resid_budget)
         else:
             raise ValueError(f"unsupported mode {mode}")
-        res = {k: np.asarray(v) for k, v in res._asdict().items()}
-        streams = _pack_streams(res, codec)
-        zblobs = _zstd_stage(res, streams, hi - lo, config)
-        for i in range(hi - lo):
-            out_frames.append(_assemble_frame(res, i, h, w, config, mode,
-                                              streams, zblobs))
+        # start device->host copies now; host packing of earlier batches
+        # overlaps the transfer and the next batch's device compute
+        for name, leaf in res._asdict().items():
+            if name in _F32_COEF_FIELDS:
+                continue
+            try:
+                leaf.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                break
+        pending.append((hi - lo, res))
+        if len(pending) > config.prefetch_batches:
+            drain(pending.pop(0))
+    while pending:
+        drain(pending.pop(0))
     return container.pack_blob(out_frames)
 
 
@@ -185,12 +217,15 @@ def _pack_streams(res, codec):
     trunc_r = np.where(res["skip_residual"], 0,
                        res["resid_bits"]).astype(np.int64)
     if _native.HAVE_NATIVE:
+        pack16 = bool(res["pack16_ok"].all())
         base_arena = _native.coder_encode_batch(
-            res["base_coef"], trunc_b, base_spec.group_levels,
-            base_spec.nplanes, base_spec.nchunks)
+            res["base_pack16"] if pack16 else res["base_coef"], trunc_b,
+            base_spec.group_levels, base_spec.nplanes, base_spec.nchunks,
+            shifts=res["base_shift"] if pack16 else None)
         resid_arena = _native.coder_encode_batch(
-            res["resid_coef"], trunc_r, resid_spec.group_levels,
-            resid_spec.nplanes, resid_spec.nchunks)
+            res["resid_pack16"] if pack16 else res["resid_coef"], trunc_r,
+            resid_spec.group_levels, resid_spec.nplanes, resid_spec.nchunks,
+            shifts=res["resid_shift"] if pack16 else None)
 
         def base(i, bits):
             return base_arena[i, : (int(bits) + 7) // 8].tobytes()
@@ -257,7 +292,11 @@ def _assemble_frame(res, i, h, w, config, mode, streams, zblobs) -> bytes:
         int(mode), h, w, mn, mx,
         base_stream=base_stream(i, bits_pure), base_nbits=bits_pure,
         pointwise=mode == ResidualMode.POINTWISE_MAX_ERROR, **base_meta)
-    if pure_required or len(pure) < len(combined):
+    # prefer pure only when it actually meets the bound (or is the last
+    # resort because the residual path failed) — a smaller-but-infeasible
+    # pure stream must not win
+    feasible_pure = bool(res["base_feasible_pure"][i])
+    if pure_required or (feasible_pure and len(pure) < len(combined)):
         elog.info("frame %d: pure base layer chosen (%d < %d bytes)",
                   i, len(pure), len(combined))
         return pure
@@ -283,6 +322,14 @@ def decompress(blob: bytes, config: EBCCConfig | None = None) -> np.ndarray:
     h, w = metas[todo[0]][0].h, metas[todo[0]][0].w
     codec = _codec_for(h, w, config)
     bsz = config.max_batch
+    pending = []  # (idxs, device_result)
+
+    def drain(entry):
+        idxs_, dev = entry
+        dec = np.asarray(dev)
+        for k, idx in enumerate(idxs_):
+            out[idx] = dec[k]
+
     for lo, hi in _batches(len(todo), bsz):
         idxs = todo[lo:hi]
         base_streams = [b""] * bsz
@@ -329,15 +376,22 @@ def decompress(blob: bytes, config: EBCCConfig | None = None) -> np.ndarray:
             coef_r = _native.coder_decode_batch(
                 resid_streams, rb, msr, rspec.height, rspec.width,
                 rspec.group_levels, rspec.nplanes, rspec.nchunks)
-            dec = np.asarray(codec.recon(coef_b, mn, mx, dcb, hasr,
-                                         coef_r, rmn, rmx, dcr))
+            dev = codec.recon(coef_b, mn, mx, dcb, hasr,
+                              coef_r, rmn, rmx, dcr)
         else:
             bw = np.stack([_bytes_to_words(s, codec.base.cap_words)
                            for s in base_streams])
             rw = np.stack([_bytes_to_words(s, codec.resid.cap_words)
                            for s in resid_streams])
-            dec = np.asarray(codec.decode(bw, bb, msb_, mn, mx, dcb, hasr,
-                                          rw, rb, msr, rmn, rmx, dcr))
-        for k, idx in enumerate(idxs):
-            out[idx] = dec[k]
+            dev = codec.decode(bw, bb, msb_, mn, mx, dcb, hasr,
+                               rw, rb, msr, rmn, rmx, dcr)
+        try:
+            dev.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        pending.append((idxs, dev))
+        if len(pending) > config.prefetch_batches:
+            drain(pending.pop(0))
+    while pending:
+        drain(pending.pop(0))
     return np.stack(out)

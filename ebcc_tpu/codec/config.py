@@ -46,6 +46,7 @@ class EBCCConfig:
     residual_cap_bits_per_px: int = 6
     zstd_level: int = 19            # residual entropy stage (ref uses 22)
     max_batch: int = 8              # frames per device dispatch
+    prefetch_batches: int = 2       # device batches in flight (pipelining)
 
     def __post_init__(self):
         if self.mode == ResidualMode.QUANTILE:

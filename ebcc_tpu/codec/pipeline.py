@@ -70,7 +70,7 @@ class EncodeResult(NamedTuple):
     const: jax.Array            # bool: constant field
     dc_b: jax.Array
     max_step_b: jax.Array
-    base_coef: jax.Array        # int32 [B, hp, wp] weighted base coefficients
+    base_coef: jax.Array        # f32 [B, hp, wp] weighted base coefficients
     base_bits_q: jax.Array      # truncation meeting the feasibility quantile
     base_bits_pure: jax.Array   # truncation meeting the bound everywhere
     base_feasible_pure: jax.Array  # bool: pure base meets bound everywhere
@@ -78,10 +78,19 @@ class EncodeResult(NamedTuple):
     rmax: jax.Array
     dc_r: jax.Array
     max_step_r: jax.Array
-    resid_coef: jax.Array       # int32 [B, hp_r, wp_r] residual coefficients
+    resid_coef: jax.Array       # f32 [B, hp_r, wp_r] residual coefficients
     resid_bits: jax.Array
     resid_feasible: jax.Array   # bool: base@q + residual meets the bound
     skip_residual: jax.Array    # bool: base@q alone already meets the bound
+    # compact transfer representation: sign in bit 15, (mag >> shift) in the
+    # low 15 bits.  Valid (pack16_ok) when no coded bitplane lies below
+    # ``shift``, i.e. at most 15 bitplanes are coded — the common case by a
+    # wide margin.  Halves the device-to-host traffic vs float32.
+    base_pack16: jax.Array      # u16 [B, hp, wp]
+    resid_pack16: jax.Array     # u16 [B, hp_r, wp_r]
+    base_shift: jax.Array       # i32 [B]
+    resid_shift: jax.Array      # i32 [B]
+    pack16_ok: jax.Array        # bool [B]
 
 
 class FrameCodec:
@@ -225,6 +234,20 @@ class FrameCodec:
                                              axis=1)[:, 0])
         return bits, any_ok, maxd, bstar, kstar
 
+    @staticmethod
+    def _pack16(ci, max_step, b_low):
+        """Compact u16 transfer form of integer coefficients.
+
+        shift = max(0, max_step - 14); exact iff shift <= b_low (no coded
+        plane below the shift).  Returns (packed u16, shift i32, ok bool).
+        """
+        shift = jnp.maximum(max_step - 14, 0).astype(jnp.int32)
+        ok = shift <= b_low
+        s3 = shift[:, None, None]
+        mag = jnp.abs(ci).astype(jnp.int32) >> s3
+        packed = jnp.where(ci < 0, 32768 + mag, mag).astype(jnp.uint16)
+        return packed, shift, ok
+
     def _recon_at(self, an, geom, bstar, kstar):
         """Reconstruction at the chosen (plane, chunk) truncation."""
         j = geom.spec.nchunks
@@ -256,7 +279,7 @@ class FrameCodec:
             an_b, self.base, recon_b, data, target, qbase, coarse=coarse)
         # pure fallback: same embedded stream, quantile target 1.0
         # (j2k_codec.h:668-695) — free here, it is just another prefix.
-        bits_pure, feas_pure, _, _, _ = self._search_truncation(
+        bits_pure, feas_pure, _, bs_pure, _ = self._search_truncation(
             an_b, self.base, recon_b, data, target, jnp.float32(0.0),
             coarse=coarse)
 
@@ -270,16 +293,27 @@ class FrameCodec:
         def recon_r(rc):
             return base_rec + self._resid_recon(rc, rmin, rmax, dcr)
 
-        resid_bits, resid_feas, _, _, _ = self._search_truncation(
+        resid_bits, resid_feas, _, bs_r, _ = self._search_truncation(
             an_r, self.resid, recon_r, data, target, jnp.float32(0.0))
 
+        pb, sb, okb = self._pack16(ci, an_b.max_step,
+                                   jnp.minimum(bs_q, bs_pure))
+        pr, sr, okr = self._pack16(
+            cir, an_r.max_step,
+            jnp.where(skip_residual, self.resid.spec.nplanes, bs_r))
+
+        # coefficients travel to the host coder packed u16 (or as float32 —
+        # exact integers < 2**22 — when >15 planes are coded); int32
+        # device-to-host transfers are pathologically slow on axon hosts
         return EncodeResult(
             mn=mn, mx=mx, const=const, dc_b=dc, max_step_b=an_b.max_step,
-            base_coef=ci, base_bits_q=bits_q,
+            base_coef=ci.astype(jnp.float32), base_bits_q=bits_q,
             base_bits_pure=bits_pure, base_feasible_pure=feas_pure,
             rmin=rmin, rmax=rmax, dc_r=dcr, max_step_r=an_r.max_step,
-            resid_coef=cir, resid_bits=resid_bits,
-            resid_feasible=resid_feas, skip_residual=skip_residual)
+            resid_coef=cir.astype(jnp.float32), resid_bits=resid_bits,
+            resid_feasible=resid_feas, skip_residual=skip_residual,
+            base_pack16=pb, resid_pack16=pr, base_shift=sb, resid_shift=sr,
+            pack16_ok=okb & okr)
 
     def _encode_rate_targeted(self, data, base_budget_bits, resid_budget_bits):
         """NONE / SPARSIFICATION_FACTOR encode: truncate at bit budgets.
@@ -312,15 +346,24 @@ class FrameCodec:
                          cand_r.shape[-1] - 1)
         bits_r = jnp.take_along_axis(cand_r, idx_r[:, None], axis=1)[:, 0]
         use_resid = resid_budget_bits > 0
+        nk_r = 2 * self.resid.spec.nchunks
+        bs_r = self.resid.spec.nplanes - 1 - idx_r // nk_r
+
+        pb, sb, okb = self._pack16(ci, an_b.max_step, bs)
+        pr, sr, okr = self._pack16(
+            cir, an_r.max_step,
+            jnp.where(use_resid, bs_r, self.resid.spec.nplanes))
 
         return EncodeResult(
             mn=mn, mx=mx, const=const, dc_b=dc, max_step_b=an_b.max_step,
-            base_coef=ci, base_bits_q=bits_b,
+            base_coef=ci.astype(jnp.float32), base_bits_q=bits_b,
             base_bits_pure=bits_b, base_feasible_pure=jnp.zeros_like(const),
             rmin=rmin, rmax=rmax, dc_r=dcr, max_step_r=an_r.max_step,
-            resid_coef=cir,
+            resid_coef=cir.astype(jnp.float32),
             resid_bits=jnp.where(use_resid, bits_r, 0),
-            resid_feasible=use_resid, skip_residual=~use_resid)
+            resid_feasible=use_resid, skip_residual=~use_resid,
+            base_pack16=pb, resid_pack16=pr, base_shift=sb, resid_shift=sr,
+            pack16_ok=okb & okr)
 
     # ---------------- decode stages ----------------
 

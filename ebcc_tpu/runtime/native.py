@@ -146,31 +146,46 @@ def words_to_bytes_batch(words: np.ndarray, nbits: np.ndarray) -> list[bytes]:
 
 
 def coder_encode_batch(coef: np.ndarray, trunc_bits: np.ndarray,
-                       group_levels: int, nplanes: int, nchunks: int
-                       ) -> np.ndarray:
+                       group_levels: int, nplanes: int, nchunks: int,
+                       shifts: np.ndarray | None = None) -> np.ndarray:
     """Native bitplane encode (native/ebcc_coder.cc).
 
-    ``coef``: int32 [n, h, w] weighted coefficients; ``trunc_bits``: per-
-    frame truncation.  Returns a uint8 arena [n, cap_bytes]; frame i's
-    stream is ``arena[i, : (bits + 7) // 8]`` for any prefix
-    ``bits <= trunc_bits[i]`` (embedded stream).
+    ``coef``: weighted coefficients [n, h, w] as int32, float32 (exact
+    integers) or uint16 packed (sign bit 15, mag >> shifts[i] low);
+    ``trunc_bits``: per-frame truncation.  Returns a uint8 arena
+    [n, cap_bytes]; frame i's stream is ``arena[i, : (bits + 7) // 8]`` for
+    any prefix ``bits <= trunc_bits[i]`` (embedded stream).
     """
     lib = _load()
     if lib is None:
         raise RuntimeError("native runtime unavailable")
-    coef = np.ascontiguousarray(coef, np.int32)
+    coef = np.asarray(coef)
     n, h, w = coef.shape
     trunc = np.ascontiguousarray(trunc_bits, np.int64)
     cap_bytes = max(8, (int(trunc.max(initial=0)) + 7) // 8)
     out = np.zeros((n, cap_bytes), np.uint8)
-    lib.ebcc_coder_encode_batch(
-        coef.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        ctypes.c_int(n), ctypes.c_int(h), ctypes.c_int(w),
-        ctypes.c_int(group_levels), ctypes.c_int(nplanes),
-        ctypes.c_int(nchunks),
-        trunc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.c_int64(cap_bytes))
+    common = (ctypes.c_int(n), ctypes.c_int(h), ctypes.c_int(w),
+              ctypes.c_int(group_levels), ctypes.c_int(nplanes),
+              ctypes.c_int(nchunks),
+              trunc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+              out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+              ctypes.c_int64(cap_bytes))
+    if coef.dtype == np.uint16:
+        if shifts is None:
+            raise ValueError("uint16 coefficients require shifts")
+        coef = np.ascontiguousarray(coef)
+        sh = np.ascontiguousarray(shifts, np.int32)
+        lib.ebcc_coder_encode_batch_u16(
+            coef.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            sh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), *common)
+    elif coef.dtype == np.float32:
+        coef = np.ascontiguousarray(coef)
+        lib.ebcc_coder_encode_batch_f32(
+            coef.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), *common)
+    else:
+        coef = np.ascontiguousarray(coef, np.int32)
+        lib.ebcc_coder_encode_batch(
+            coef.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), *common)
     return out
 
 

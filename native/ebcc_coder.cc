@@ -15,6 +15,7 @@
 // library only turns already-chosen (coefficients, truncation) pairs into
 // bytes and back, batched over frames with one thread per frame.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -73,6 +74,20 @@ void encode_one(const int32_t* coef, const Spec& s, int64_t trunc_bits,
       }
   }
 
+  // per-row maxima let whole rows be skipped at planes where they provably
+  // emit nothing (bit ORDER is unchanged; skipped rows contribute no bits)
+  std::vector<std::vector<int8_t>> rowmax(g + 1);
+  for (int k = 0; k <= g; ++k) {
+    int hk = h >> k, wk = w >> k;
+    rowmax[k].assign(hk, -1);
+    const int8_t* sk = smax[k].data();
+    for (int r = 0; r < hk; ++r) {
+      int8_t m = -1;
+      for (int c = 0; c < wk; ++c) m = std::max(m, sk[(size_t)r * wk + c]);
+      rowmax[k][r] = m;
+    }
+  }
+
   int64_t pos = 0;
   auto emit = [&](int bit) {
     if (pos < trunc_bits && bit) out[pos >> 3] |= (uint8_t)(0x80u >> (pos & 7));
@@ -93,12 +108,14 @@ void encode_one(const int32_t* coef, const Spec& s, int64_t trunc_bits,
       } else {
         const int8_t* sp = smax[k + 1].data();
         int wk1 = wk >> 1;
-        for (int r = 0; r < hk; ++r)
+        for (int r = 0; r < hk; ++r) {
+          if (rowmax[k + 1][r >> 1] < b) continue;  // no significant parent
           for (int c = 0; c < wk; ++c) {
             if (sp[(size_t)(r >> 1) * wk1 + (c >> 1)] >= b &&
                 sk[(size_t)r * wk + c] <= b)
               emit(sk[(size_t)r * wk + c] == b);
           }
+        }
       }
     }
     // level-0 passes over J row stripes
@@ -108,27 +125,33 @@ void encode_one(const int32_t* coef, const Spec& s, int64_t trunc_bits,
       // stripe j: rows r with (r*J)/h == j
       int r0 = (j * h + J - 1) / J, r1 = ((j + 1) * h + J - 1) / J;
       // significance bits
-      for (int r = r0; r < r1; ++r)
+      for (int r = r0; r < r1; ++r) {
+        if (rowmax[1][r >> 1] < b) continue;
         for (int c = 0; c < w; ++c) {
           size_t i = (size_t)r * w + c;
           if (s1[(size_t)(r >> 1) * w1 + (c >> 1)] >= b && msb[i] <= b)
             emit(msb[i] == b);
         }
+      }
       // sign bits of newly-significant coeffs
-      for (int r = r0; r < r1; ++r)
+      for (int r = r0; r < r1; ++r) {
+        if (rowmax[0][r] < b) continue;
         for (int c = 0; c < w; ++c) {
           size_t i = (size_t)r * w + c;
           if (msb[i] == b) emit(neg[i]);
         }
+      }
     }
     // refinement passes
     for (int j = 0; j < J; ++j) {
       int r0 = (j * h + J - 1) / J, r1 = ((j + 1) * h + J - 1) / J;
-      for (int r = r0; r < r1; ++r)
+      for (int r = r0; r < r1; ++r) {
+        if (rowmax[0][r] <= b) continue;  // no coeff with msb > b
         for (int c = 0; c < w; ++c) {
           size_t i = (size_t)r * w + c;
           if (msb[i] > b) emit((mag[i] >> b) & 1);
         }
+      }
     }
   }
 }
@@ -144,6 +167,11 @@ void decode_one(const uint8_t* bytes, int64_t nbits, int max_step,
   std::vector<int16_t> newp(n, -1);  // plane at which coeff became significant
   std::vector<std::vector<uint8_t>> sig(g + 1);
   for (int k = 1; k <= g; ++k) sig[k].assign((size_t)(h >> k) * (w >> k), 0);
+  // per-row "any significance" flags: rows with none are skipped (bit order
+  // is unchanged; such rows emit/consume no bits at this plane)
+  std::vector<std::vector<uint8_t>> rowany(g + 1);
+  for (int k = 0; k <= g; ++k) rowany[k].assign(h >> k, 0);
+  std::vector<uint8_t> rownew(h, 0);
 
   int64_t pos = 0;
   auto read = [&]() -> int {
@@ -159,25 +187,37 @@ void decode_one(const uint8_t* bytes, int64_t nbits, int max_step,
       uint8_t* sk = sig[k].data();
       if (k == g) {
         if (max_step >= b) {
-          for (size_t i = 0; i < (size_t)hk * wk; ++i)
-            if (!sk[i] && read()) sk[i] = 1;
+          for (int r = 0; r < hk; ++r)
+            for (int c = 0; c < wk; ++c) {
+              size_t i = (size_t)r * wk + c;
+              if (!sk[i] && read()) {
+                sk[i] = 1;
+                rowany[k][r] = 1;
+              }
+            }
         }
       } else {
         const uint8_t* sp = sig[k + 1].data();
         int wk1 = wk >> 1;
-        for (int r = 0; r < hk; ++r)
+        for (int r = 0; r < hk; ++r) {
+          if (!rowany[k + 1][r >> 1]) continue;
           for (int c = 0; c < wk; ++c) {
             size_t i = (size_t)r * wk + c;
             if (sp[(size_t)(r >> 1) * wk1 + (c >> 1)] && !sk[i])
-              if (read()) sk[i] = 1;
+              if (read()) {
+                sk[i] = 1;
+                rowany[k][r] = 1;
+              }
           }
+        }
       }
     }
     const uint8_t* s1 = sig[1].data();
     int w1 = w >> 1;
     for (int j = 0; j < J; ++j) {
       int r0 = (j * h + J - 1) / J, r1 = ((j + 1) * h + J - 1) / J;
-      for (int r = r0; r < r1; ++r)
+      for (int r = r0; r < r1; ++r) {
+        if (!rowany[1][r >> 1]) continue;
         for (int c = 0; c < w; ++c) {
           size_t i = (size_t)r * w + c;
           if (s1[(size_t)(r >> 1) * w1 + (c >> 1)] && !sig0[i]) {
@@ -186,18 +226,24 @@ void decode_one(const uint8_t* bytes, int64_t nbits, int max_step,
               mag[i] = 1u << b;
               last[i] = (int16_t)b;
               newp[i] = (int16_t)b;
+              rowany[0][r] = 1;
+              rownew[r] = 1;
             }
           }
         }
-      for (int r = r0; r < r1; ++r)
+      }
+      for (int r = r0; r < r1; ++r) {
+        if (!rownew[r]) continue;
         for (int c = 0; c < w; ++c) {
           size_t i = (size_t)r * w + c;
           if (newp[i] == b) neg[i] = (uint8_t)read();
         }
+      }
     }
     for (int j = 0; j < J; ++j) {
       int r0 = (j * h + J - 1) / J, r1 = ((j + 1) * h + J - 1) / J;
-      for (int r = r0; r < r1; ++r)
+      for (int r = r0; r < r1; ++r) {
+        if (!rowany[0][r]) continue;
         for (int c = 0; c < w; ++c) {
           size_t i = (size_t)r * w + c;
           if (sig0[i] && newp[i] != b) {
@@ -209,7 +255,9 @@ void decode_one(const uint8_t* bytes, int64_t nbits, int max_step,
             }
           }
         }
+      }
     }
+    std::fill(rownew.begin(), rownew.end(), 0);
   }
   for (size_t i = 0; i < n; ++i) {
     if (!sig0[i]) {
@@ -250,6 +298,43 @@ void ebcc_coder_encode_batch(const int32_t* coef, int n, int h, int w, int g,
   run_threads(n, hw, [&](int i) {
     encode_one(coef + (size_t)i * h * w, s, trunc_bits[i],
                out + (size_t)i * cap_bytes);
+  });
+}
+
+// float32 variant: coefficients are exact integers (|v| < 2^22) shipped as
+// float32 because int32 D2H transfers are slow on some TPU hosts.
+void ebcc_coder_encode_batch_f32(const float* coef, int n, int h, int w,
+                                 int g, int nplanes, int nchunks,
+                                 const int64_t* trunc_bits, uint8_t* out,
+                                 int64_t cap_bytes) {
+  Spec s{h, w, g, nplanes, nchunks};
+  int hw = (int)std::thread::hardware_concurrency();
+  run_threads(n, hw, [&](int i) {
+    const size_t sz = (size_t)h * w;
+    std::vector<int32_t> tmp(sz);
+    const float* src = coef + (size_t)i * sz;
+    for (size_t k = 0; k < sz; ++k) tmp[k] = (int32_t)src[k];
+    encode_one(tmp.data(), s, trunc_bits[i], out + (size_t)i * cap_bytes);
+  });
+}
+
+// u16 variant: sign in bit 15, (mag >> shift[i]) in the low 15 bits.
+void ebcc_coder_encode_batch_u16(const uint16_t* coef, const int32_t* shifts,
+                                 int n, int h, int w, int g, int nplanes,
+                                 int nchunks, const int64_t* trunc_bits,
+                                 uint8_t* out, int64_t cap_bytes) {
+  Spec s{h, w, g, nplanes, nchunks};
+  int hw = (int)std::thread::hardware_concurrency();
+  run_threads(n, hw, [&](int i) {
+    const size_t sz = (size_t)h * w;
+    std::vector<int32_t> tmp(sz);
+    const uint16_t* src = coef + (size_t)i * sz;
+    const int sh = shifts[i];
+    for (size_t k = 0; k < sz; ++k) {
+      int32_t mag = (int32_t)(src[k] & 0x7FFF) << sh;
+      tmp[k] = (src[k] & 0x8000) ? -mag : mag;
+    }
+    encode_one(tmp.data(), s, trunc_bits[i], out + (size_t)i * cap_bytes);
   });
 }
 

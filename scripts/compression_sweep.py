@@ -16,7 +16,12 @@ import csv
 import json
 import time
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def lossless_baselines(data: np.ndarray):

@@ -7,7 +7,12 @@ compressor, report per-level CR and verify the bound per level.
 
 import argparse
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -1,0 +1,137 @@
+"""Per-stage profiling of the compress/decompress pipeline on the active
+platform.  Prints a JSON dict of stage -> seconds for one batch."""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    from ebcc_tpu import EBCCConfig, ResidualMode, api
+    from ebcc_tpu.codec.pipeline import FrameCodec
+    from ebcc_tpu.runtime import native
+
+    B, H, W = 8, 721, 1440
+    rng = np.random.default_rng(0)
+    try:
+        base = np.load("/root/reference/data/test_data.npy").astype(
+            np.float32)
+    except Exception:
+        y, x = np.mgrid[0:H, 0:W]
+        base = (260 + 25 * np.sin(y / H * np.pi) *
+                np.cos(x / W * 2 * np.pi)).astype(np.float32)
+    data = np.stack([base + rng.normal(0, 0.05, base.shape)
+                     .astype(np.float32) for _ in range(B)])
+
+    cfg = EBCCConfig(mode=ResidualMode.MAX_ERROR, error=0.5, base_cr=100,
+                     max_batch=B)
+    codec = FrameCodec(H, W, cfg)
+    target = np.full(B, 0.5, np.float32)
+
+    t = {}
+
+    # warmup
+    res = codec.encode_error_bounded(data, target, 1e-6)
+    jax.block_until_ready(res)
+
+    t0 = time.perf_counter()
+    res = codec.encode_error_bounded(data, target, 1e-6)
+    jax.block_until_ready(res)
+    t["1_device_encode_search"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    resn = {k: np.asarray(v) for k, v in res._asdict().items()}
+    t["2_device_to_host_transfer"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    streams = api._pack_streams(resn, codec)
+    t["3_native_pack"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    zblobs = api._zstd_stage(resn, streams, B, cfg)
+    t["4_zstd"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    frames = [api._assemble_frame(resn, i, H, W, cfg, cfg.mode, streams,
+                                  zblobs) for i in range(B)]
+    t["5_assemble"] = time.perf_counter() - t0
+
+    blob = api.compress(data[:1].repeat(1, 0), cfg) if False else None
+
+    # ---- decode stages ----
+    from ebcc_tpu.codec import container
+    full = container.pack_blob(frames)
+    metas = [container.unpack_frame(f) for f in container.unpack_blob(full)]
+
+    bspec, rspec = codec.base.spec, codec.resid.spec
+    base_streams = [m[1] or m[2] for m in metas]  # placeholder
+    base_streams = [m[2] for m in metas]
+    bb = np.array([m[0].base_nbits for m in metas], np.int64)
+    ms = np.array([m[0].max_step_b for m in metas], np.int32)
+
+    zlist = [m[1] for m in metas if m[0].flags & container.FLAG_RESID]
+    zmax = [(m[0].resid_nbits + 7) // 8 for m in metas
+            if m[0].flags & container.FLAG_RESID]
+    t0 = time.perf_counter()
+    if zlist:
+        if native.HAVE_NATIVE:
+            unpacked = native.zstd_decompress_batch(zlist, zmax)
+        else:
+            unpacked = []
+    t["6_unzstd"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    coef_b = native.coder_decode_batch(base_streams, bb, ms, bspec.height,
+                                       bspec.width, bspec.group_levels,
+                                       bspec.nplanes, bspec.nchunks)
+    t["7_native_base_decode"] = time.perf_counter() - t0
+
+    rs = [b""] * B
+    rbn = np.zeros(B, np.int64)
+    msr = np.zeros(B, np.int32)
+    k = 0
+    for i, m in enumerate(metas):
+        if m[0].flags & container.FLAG_RESID:
+            rs[i] = unpacked[k]
+            rbn[i] = m[0].resid_nbits
+            msr[i] = m[0].max_step_r
+            k += 1
+    t0 = time.perf_counter()
+    coef_r = native.coder_decode_batch(rs, rbn, msr, rspec.height,
+                                       rspec.width, rspec.group_levels,
+                                       rspec.nplanes, rspec.nchunks)
+    t["8_native_resid_decode"] = time.perf_counter() - t0
+
+    mn = np.array([m[0].mn for m in metas], np.float32)
+    mx = np.array([m[0].mx for m in metas], np.float32)
+    dcb = np.array([m[0].dc_b for m in metas], np.float32)
+    hasr = np.array([bool(m[0].flags & container.FLAG_RESID)
+                     for m in metas])
+    rmn = np.array([m[0].rmin for m in metas], np.float32)
+    rmx = np.array([m[0].rmax for m in metas], np.float32)
+    dcr = np.array([m[0].dc_r for m in metas], np.float32)
+
+    out = codec.recon(coef_b, mn, mx, dcb, hasr, coef_r, rmn, rmx, dcr)
+    jax.block_until_ready(out)  # warmup
+    t0 = time.perf_counter()
+    out = codec.recon(coef_b, mn, mx, dcb, hasr, coef_r, rmn, rmx, dcr)
+    jax.block_until_ready(out)
+    t["9_device_recon"] = time.perf_counter() - t0
+
+    err = float(np.max(np.abs(np.asarray(out) - data)))
+    t["max_err"] = err
+    t["total_enc"] = sum(v for k, v in t.items() if k[0] in "12345")
+    t["total_dec"] = sum(v for k, v in t.items() if k[0] in "6789")
+    print(json.dumps({k: round(v, 4) for k, v in t.items()}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

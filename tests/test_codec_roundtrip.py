@@ -43,6 +43,18 @@ class TestMaxError:
             sizes.append(len(blob))
         assert sizes[1] > sizes[0]
 
+    def test_very_tight_bound(self, small_frame):
+        """Regression: near-lossless bounds force full streams, where the
+        smaller-but-infeasible pure-base variant must not be selected
+        (api._assemble_frame), and the >15-coded-planes case exercises the
+        float32 coefficient fallback path instead of the u16 packing."""
+        data = small_frame[None]
+        e = 0.0005
+        cfg = small_cfg(mode=ResidualMode.MAX_ERROR, error=e, base_cr=50)
+        blob = ebcc_tpu.compress(data, cfg)
+        rec = ebcc_tpu.decompress(blob, cfg)
+        assert float(np.max(np.abs(rec - data))) <= e
+
 
 class TestRelativeError:
     def test_bound_enforced(self, small_frame):
