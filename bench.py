@@ -15,6 +15,7 @@ single-core; with ~8 re-encode probes + SPIHT passes the pipeline lands at
 """
 
 import json
+import os
 import sys
 import time
 
@@ -29,7 +30,7 @@ def main():
     import ebcc_tpu
     from ebcc_tpu import EBCCConfig, ResidualMode
 
-    frames_per_batch = 8
+    frames_per_batch = int(os.environ.get("EBCC_BENCH_BATCH", "8"))
     path = "/root/reference/data/test_data.npy"
     try:
         base = np.load(path).astype(np.float32)

@@ -370,14 +370,24 @@ def decompress(blob: bytes, config: EBCCConfig | None = None) -> np.ndarray:
                 resid_streams[k] = rbytes
         if _native.HAVE_NATIVE:
             bspec, rspec = codec.base.spec, codec.resid.spec
-            coef_b = _native.coder_decode_batch(
+            v16_b, bend_b, ok_b = _native.coder_decode_batch_u16(
                 base_streams, bb, msb_, bspec.height, bspec.width,
                 bspec.group_levels, bspec.nplanes, bspec.nchunks)
-            coef_r = _native.coder_decode_batch(
+            v16_r, bend_r, ok_r = _native.coder_decode_batch_u16(
                 resid_streams, rb, msr, rspec.height, rspec.width,
                 rspec.group_levels, rspec.nplanes, rspec.nchunks)
-            dev = codec.recon(coef_b, mn, mx, dcb, hasr,
-                              coef_r, rmn, rmx, dcr)
+            if ok_b.all() and ok_r.all():
+                dev = codec.recon_packed(v16_b, bend_b, mn, mx, dcb, hasr,
+                                         v16_r, bend_r, rmn, rmx, dcr)
+            else:  # >14 decoded planes somewhere: full-precision path
+                coef_b = _native.coder_decode_batch(
+                    base_streams, bb, msb_, bspec.height, bspec.width,
+                    bspec.group_levels, bspec.nplanes, bspec.nchunks)
+                coef_r = _native.coder_decode_batch(
+                    resid_streams, rb, msr, rspec.height, rspec.width,
+                    rspec.group_levels, rspec.nplanes, rspec.nchunks)
+                dev = codec.recon(coef_b, mn, mx, dcb, hasr,
+                                  coef_r, rmn, rmx, dcr)
         else:
             bw = np.stack([_bytes_to_words(s, codec.base.cap_words)
                            for s in base_streams])

@@ -111,6 +111,7 @@ class FrameCodec:
         self._encode_rate = jax.jit(self._encode_rate_targeted)
         self._decode = jax.jit(self._decode_stage)
         self._recon = jax.jit(self._recon_stage)
+        self._recon_packed = jax.jit(self._recon_packed_stage)
 
     # ---------------- shared transform helpers ----------------
 
@@ -239,13 +240,21 @@ class FrameCodec:
         """Compact u16 transfer form of integer coefficients.
 
         shift = max(0, max_step - 14); exact iff shift <= b_low (no coded
-        plane below the shift).  Returns (packed u16, shift i32, ok bool).
+        plane below the shift).  Coefficients entirely below the lowest
+        coded plane (mag < 2**b_low) are zeroed: every emitted bit at planes
+        >= b_low is unchanged (their subtree maxima stay < b_low), the
+        stream is truncated above plane b_low - 1, and the zeros make the
+        transfer sparse and the host coder's row-skipping effective.
+        Returns (packed u16, shift i32, ok bool).
         """
         shift = jnp.maximum(max_step - 14, 0).astype(jnp.int32)
         ok = shift <= b_low
         s3 = shift[:, None, None]
-        mag = jnp.abs(ci).astype(jnp.int32) >> s3
+        mag_full = jnp.abs(ci).astype(jnp.int32)
+        coded = (mag_full >> b_low[:, None, None]) > 0
+        mag = jnp.where(coded, mag_full >> s3, 0)
         packed = jnp.where(ci < 0, 32768 + mag, mag).astype(jnp.uint16)
+        packed = jnp.where(coded, packed, 0)
         return packed, shift, ok
 
     def _recon_at(self, an, geom, bstar, kstar):
@@ -376,6 +385,26 @@ class FrameCodec:
         resid = self._resid_recon(coef_r, rmin, rmax, dcr)
         return out + jnp.where(has_resid[:, None, None], resid, 0.0)
 
+    @staticmethod
+    def _unpack16_coef(v16, bend):
+        """Inverse of the native u16 decode packing: sign<<15 | last_off<<14
+        | (mag >> b_end) -> float midpoint coefficients."""
+        v = v16.astype(jnp.int32)
+        mag = (v & 0x3FFF) << bend[:, None, None]
+        last = bend[:, None, None] + ((v >> 14) & 1)
+        half = jnp.where((mag > 0) & (last > 0),
+                         (jnp.exp2(last.astype(jnp.float32)) - 1.0) * 0.5,
+                         0.0)
+        rec = jnp.where(mag > 0, mag.astype(jnp.float32) + half, 0.0)
+        return jnp.where((v & 0x8000) != 0, -rec, rec)  # bit 15 = sign
+
+    def _recon_packed_stage(self, v16_b, bend_b, mn, mx, dc, has_resid,
+                            v16_r, bend_r, rmin, rmax, dcr):
+        return self._recon_stage(self._unpack16_coef(v16_b, bend_b),
+                                 mn, mx, dc, has_resid,
+                                 self._unpack16_coef(v16_r, bend_r),
+                                 rmin, rmax, dcr)
+
     def _decode_stage(self, base_words, base_bits, max_step_b, mn, mx, dc,
                       has_resid, resid_words, resid_bits, max_step_r,
                       rmin, rmax, dcr):
@@ -402,3 +431,7 @@ class FrameCodec:
     def recon(self, *args):
         """Reconstruct frames from structurally-decoded coefficients."""
         return self._recon(*args)
+
+    def recon_packed(self, *args):
+        """Reconstruct frames from the native coder's packed u16 state."""
+        return self._recon_packed(*args)

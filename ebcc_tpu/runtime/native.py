@@ -219,6 +219,39 @@ def coder_decode_batch(streams: list[bytes], nbits: np.ndarray,
     return out
 
 
+def coder_decode_batch_u16(streams: list[bytes], nbits: np.ndarray,
+                           max_step: np.ndarray, h: int, w: int,
+                           group_levels: int, nplanes: int, nchunks: int):
+    """Native structural decode -> packed u16 state (sign<<15 | last_off<<14
+    | mag>>b_end) + per-frame b_end.  Returns (packed, bend, ok); frames
+    with ok == 0 need the float32 path."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    n = len(streams)
+    blob = b"".join(streams)
+    sizes = np.asarray([len(s) for s in streams], np.int64)
+    offsets = np.zeros(n, np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    nbits = np.minimum(np.ascontiguousarray(nbits, np.int64), sizes * 8)
+    max_step = np.ascontiguousarray(max_step, np.int32)
+    out = np.empty((n, h, w), np.uint16)
+    bend = np.zeros(n, np.int32)
+    ok = np.zeros(n, np.int32)
+    lib.ebcc_coder_decode_batch_u16(
+        ctypes.cast(ctypes.c_char_p(blob), ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nbits.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        max_step.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int(n), ctypes.c_int(h), ctypes.c_int(w),
+        ctypes.c_int(group_levels), ctypes.c_int(nplanes),
+        ctypes.c_int(nchunks),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        bend.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out, bend, ok
+
+
 def bytes_to_words_batch(streams: list[bytes], nwords: int) -> np.ndarray:
     """Byte streams -> zero-padded [n, nwords] u32 word buffers."""
     lib = _load()

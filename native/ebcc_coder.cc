@@ -156,14 +156,19 @@ void encode_one(const int32_t* coef, const Spec& s, int64_t trunc_bits,
   }
 }
 
-// Per-frame decoder: bytes -> float32 midpoint-reconstructed coefficients.
-void decode_one(const uint8_t* bytes, int64_t nbits, int max_step,
-                const Spec& s, float* out) {
+// Per-frame structural decode into (mag, neg, last) state arrays.
+// Returns b_end: the lowest bitplane entered.  For every significant
+// coefficient, last is b_end or b_end + 1 (refinement updates last at every
+// entered plane until the stream runs out mid-plane).
+int decode_core(const uint8_t* bytes, int64_t nbits, int max_step,
+                const Spec& s, uint32_t* mag, uint8_t* neg, int16_t* last,
+                uint8_t* sig0) {
   const int h = s.h, w = s.w, g = s.g, J = s.nchunks;
   const size_t n = (size_t)h * w;
-  std::vector<uint8_t> sig0(n, 0), neg(n, 0);
-  std::vector<uint32_t> mag(n, 0);
-  std::vector<int16_t> last(n, (int16_t)s.nplanes);
+  memset(sig0, 0, n);
+  memset(neg, 0, n);
+  memset(mag, 0, n * sizeof(uint32_t));
+  for (size_t i = 0; i < n; ++i) last[i] = (int16_t)s.nplanes;
   std::vector<int16_t> newp(n, -1);  // plane at which coeff became significant
   std::vector<std::vector<uint8_t>> sig(g + 1);
   for (int k = 1; k <= g; ++k) sig[k].assign((size_t)(h >> k) * (w >> k), 0);
@@ -181,7 +186,9 @@ void decode_one(const uint8_t* bytes, int64_t nbits, int max_step,
     return bit;
   };
 
+  int b_end = s.nplanes;
   for (int b = s.nplanes - 1; b >= 0 && pos < nbits; --b) {
+    b_end = b;
     for (int k = g; k >= 1; --k) {
       int hk = h >> k, wk = w >> k;
       uint8_t* sk = sig[k].data();
@@ -259,6 +266,18 @@ void decode_one(const uint8_t* bytes, int64_t nbits, int max_step,
     }
     std::fill(rownew.begin(), rownew.end(), 0);
   }
+  return b_end;
+}
+
+// f32 packer: midpoint-reconstructed coefficients.
+void decode_one(const uint8_t* bytes, int64_t nbits, int max_step,
+                const Spec& s, float* out) {
+  const size_t n = (size_t)s.h * s.w;
+  std::vector<uint32_t> mag(n);
+  std::vector<uint8_t> neg(n), sig0(n);
+  std::vector<int16_t> last(n);
+  decode_core(bytes, nbits, max_step, s, mag.data(), neg.data(), last.data(),
+              sig0.data());
   for (size_t i = 0; i < n; ++i) {
     if (!sig0[i]) {
       out[i] = 0.0f;
@@ -269,6 +288,33 @@ void decode_one(const uint8_t* bytes, int64_t nbits, int max_step,
       out[i] = neg[i] ? -v : v;
     }
   }
+}
+
+// u16 packer: sign in bit 15, (last - b_end) in bit 14, (mag >> b_end) in
+// bits 0-13.  Valid iff max_step - b_end <= 13 (ok flag); the device
+// reconstructs mag = m14 << b_end and half from last = b_end + bit14.
+int decode_one_u16(const uint8_t* bytes, int64_t nbits, int max_step,
+                   const Spec& s, uint16_t* out, int32_t* out_bend) {
+  const size_t n = (size_t)s.h * s.w;
+  std::vector<uint32_t> mag(n);
+  std::vector<uint8_t> neg(n), sig0(n);
+  std::vector<int16_t> last(n);
+  int b_end = decode_core(bytes, nbits, max_step, s, mag.data(), neg.data(),
+                          last.data(), sig0.data());
+  if (b_end >= s.nplanes) b_end = 0;  // empty stream: all zero
+  *out_bend = b_end;
+  if (max_step - b_end > 13) return 0;  // would overflow 14 bits
+  for (size_t i = 0; i < n; ++i) {
+    if (!sig0[i]) {
+      out[i] = 0;
+    } else {
+      uint16_t v = (uint16_t)(mag[i] >> b_end);
+      if (last[i] > b_end) v |= 1u << 14;
+      if (neg[i]) v |= 1u << 15;
+      out[i] = v;
+    }
+  }
+  return 1;
 }
 
 void run_threads(int n, int nthreads, const std::function<void(int)>& fn) {
@@ -349,6 +395,22 @@ void ebcc_coder_decode_batch(const uint8_t* bytes, const int64_t* offsets,
   run_threads(n, hw, [&](int i) {
     decode_one(bytes + offsets[i], nbits[i], max_step[i], s,
                out + (size_t)i * h * w);
+  });
+}
+
+// u16 variant (smaller host-to-device upload); per-frame ok flags report
+// frames whose magnitudes would not fit 14 bits (caller falls back to f32).
+void ebcc_coder_decode_batch_u16(const uint8_t* bytes, const int64_t* offsets,
+                                 const int64_t* nbits,
+                                 const int32_t* max_step, int n, int h, int w,
+                                 int g, int nplanes, int nchunks,
+                                 uint16_t* out, int32_t* out_bend,
+                                 int32_t* out_ok) {
+  Spec s{h, w, g, nplanes, nchunks};
+  int hw = (int)std::thread::hardware_concurrency();
+  run_threads(n, hw, [&](int i) {
+    out_ok[i] = decode_one_u16(bytes + offsets[i], nbits[i], max_step[i], s,
+                               out + (size_t)i * h * w, out_bend + i);
   });
 }
 

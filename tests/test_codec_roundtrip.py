@@ -81,6 +81,25 @@ class TestNone:
         assert float(np.max(np.abs(rec - data))) / rng < 0.25
 
 
+class TestSparsification:
+    def test_rate_targeted_with_residual(self, small_frame):
+        """SPARSIFICATION_FACTOR: base + rate-budgeted residual layer
+        (reference mode 1, j2k_codec.h:556-561)."""
+        data = small_frame[None]
+        cfg = small_cfg(mode=ResidualMode.SPARSIFICATION_FACTOR, base_cr=60,
+                        residual_cr=10)
+        blob = ebcc_tpu.compress(data, cfg)
+        rec = ebcc_tpu.decompress(blob, cfg)
+        # residual layer budget: 8 bits/px / residual_cr, plus base + headers
+        assert len(blob) < data.nbytes / 60 + data.size / 10 + 512
+        rng = data.max() - data.min()
+        base_only = small_cfg(mode=ResidualMode.NONE, base_cr=60)
+        rec_base = ebcc_tpu.decompress(ebcc_tpu.compress(data, base_only),
+                                       base_only)
+        # the residual layer must improve on the base-only reconstruction
+        assert (np.abs(rec - data).max() < np.abs(rec_base - data).max())
+
+
 class TestConstField:
     def test_const(self):
         data = np.full((1, 64, 96), 99.0, np.float32)
