@@ -39,9 +39,11 @@ from .runtime import native as _native
 # residual streams smaller than this are dropped (j2k_codec.h:653)
 MIN_RESID_BYTES = 16
 
-# EncodeResult fields holding full-precision coefficient planes (fetched
-# from device only on the fallback path)
+# EncodeResult fields whose device->host fetch is deferred until the small
+# flags decide which representation (u8 / u16 / exact f32) is needed
 _F32_COEF_FIELDS = ("base_coef", "resid_coef")
+_DEFERRED_FIELDS = _F32_COEF_FIELDS + (
+    "base_pack16", "resid_pack16", "base_pack8", "resid_pack8")
 
 
 def _zstd_compress(data: bytes, level: int) -> bytes:
@@ -118,15 +120,12 @@ def compress(data, config: EBCCConfig | None = None, *,
     def drain(entry):
         nb_valid, res = entry
         rd = res._asdict()
-        # the float32 coefficient planes are only fetched on the rare
-        # fallback path (>15 coded planes or no native coder); everything
-        # else was async-prefetched
+        # fetch the small fields first (async-prefetched); the coefficient
+        # representation (u8 / u16 / exact f32) is chosen per layer from
+        # the flags and only that one is pulled over the link
         resn = jax.device_get({k: v for k, v in rd.items()
-                               if k not in _F32_COEF_FIELDS})
-        if not (_native.HAVE_NATIVE and resn["pack16_ok"].all()):
-            for k in _F32_COEF_FIELDS:
-                resn[k] = np.asarray(rd[k])
-        streams = _pack_streams(resn, codec)
+                               if k not in _DEFERRED_FIELDS})
+        streams = _pack_streams(resn, codec, rd)
         zblobs = _zstd_stage(resn, streams, nb_valid, config)
         for i in range(nb_valid):
             out_frames.append(_assemble_frame(resn, i, h, w, config, mode,
@@ -163,10 +162,11 @@ def compress(data, config: EBCCConfig | None = None, *,
             res = codec.encode_rate_targeted(batch, base_budget, resid_budget)
         else:
             raise ValueError(f"unsupported mode {mode}")
-        # start device->host copies now; host packing of earlier batches
-        # overlaps the transfer and the next batch's device compute
+        # start device->host copies of the small fields now; the (large)
+        # coefficient representation is fetched at drain time once the
+        # flags pick the smallest valid form
         for name, leaf in res._asdict().items():
-            if name in _F32_COEF_FIELDS:
+            if name in _DEFERRED_FIELDS:
                 continue
             try:
                 leaf.copy_to_host_async()
@@ -201,7 +201,19 @@ def _zstd_stage(res, streams, n, config):
     return dict(zip(idx, packed))
 
 
-def _pack_streams(res, codec):
+def _fetch_coef(res, rd, layer):
+    """Pull the smallest valid coefficient form for one layer off device.
+
+    Returns (coef ndarray, shifts or None) ready for the native coder.
+    """
+    if res[f"{layer}_pack8_ok"].all():
+        return np.asarray(rd[f"{layer}_pack8"]), res[f"{layer}_shift8"]
+    if res[f"{layer}_pack16_ok"].all():
+        return np.asarray(rd[f"{layer}_pack16"]), res[f"{layer}_shift"]
+    return np.asarray(rd[f"{layer}_coef"]), None
+
+
+def _pack_streams(res, codec, rd):
     """Entropy-pack the chosen (coefficients, truncation) pairs.
 
     Native host coder when available (native/ebcc_coder.cc); pure-JAX
@@ -209,6 +221,7 @@ def _pack_streams(res, codec):
     base(i, bits) / resid(i, bits) yielding trimmed byte streams — any
     prefix of the embedded stream is valid, so one arena serves both the
     quantile truncation and the pure-base fallback truncation.
+    ``rd`` holds the not-yet-fetched device arrays (coefficient forms).
     """
     base_spec = codec.base.spec
     resid_spec = codec.resid.spec
@@ -217,15 +230,14 @@ def _pack_streams(res, codec):
     trunc_r = np.where(res["skip_residual"], 0,
                        res["resid_bits"]).astype(np.int64)
     if _native.HAVE_NATIVE:
-        pack16 = bool(res["pack16_ok"].all())
+        coef_b, sh_b = _fetch_coef(res, rd, "base")
+        coef_r, sh_r = _fetch_coef(res, rd, "resid")
         base_arena = _native.coder_encode_batch(
-            res["base_pack16"] if pack16 else res["base_coef"], trunc_b,
-            base_spec.group_levels, base_spec.nplanes, base_spec.nchunks,
-            shifts=res["base_shift"] if pack16 else None)
+            coef_b, trunc_b, base_spec.group_levels, base_spec.nplanes,
+            base_spec.nchunks, shifts=sh_b)
         resid_arena = _native.coder_encode_batch(
-            res["resid_pack16"] if pack16 else res["resid_coef"], trunc_r,
-            resid_spec.group_levels, resid_spec.nplanes, resid_spec.nchunks,
-            shifts=res["resid_shift"] if pack16 else None)
+            coef_r, trunc_r, resid_spec.group_levels, resid_spec.nplanes,
+            resid_spec.nchunks, shifts=sh_r)
 
         def base(i, bits):
             return base_arena[i, : (int(bits) + 7) // 8].tobytes()
@@ -233,9 +245,10 @@ def _pack_streams(res, codec):
         def resid(i, bits):
             return resid_arena[i, : (int(bits) + 7) // 8].tobytes()
     else:
-        bw, _, _ = bp.encode_batch(res["base_coef"], trunc_b.astype(np.int32),
+        bw, _, _ = bp.encode_batch(rd["base_coef"],
+                                   trunc_b.astype(np.int32),
                                    base_spec, codec.base.cap_words)
-        rw, _, _ = bp.encode_batch(res["resid_coef"],
+        rw, _, _ = bp.encode_batch(rd["resid_coef"],
                                    trunc_r.astype(np.int32),
                                    resid_spec, codec.resid.cap_words)
         bw, rw = np.asarray(bw), np.asarray(rw)

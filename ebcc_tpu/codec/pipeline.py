@@ -82,15 +82,22 @@ class EncodeResult(NamedTuple):
     resid_bits: jax.Array
     resid_feasible: jax.Array   # bool: base@q + residual meets the bound
     skip_residual: jax.Array    # bool: base@q alone already meets the bound
-    # compact transfer representation: sign in bit 15, (mag >> shift) in the
-    # low 15 bits.  Valid (pack16_ok) when no coded bitplane lies below
-    # ``shift``, i.e. at most 15 bitplanes are coded — the common case by a
-    # wide margin.  Halves the device-to-host traffic vs float32.
+    # compact transfer representations: sign in the top bit, (mag >> shift)
+    # below.  pack16 is valid when <= 15 bitplanes are coded, pack8 when
+    # <= 7 (typical for the residual layer).  The host fetches the smallest
+    # valid form; float32 coefficients remain as the exact fallback.
     base_pack16: jax.Array      # u16 [B, hp, wp]
     resid_pack16: jax.Array     # u16 [B, hp_r, wp_r]
+    base_pack8: jax.Array       # u8 [B, hp, wp]
+    resid_pack8: jax.Array      # u8 [B, hp_r, wp_r]
     base_shift: jax.Array       # i32 [B]
-    resid_shift: jax.Array      # i32 [B]
-    pack16_ok: jax.Array        # bool [B]
+    resid_shift: jax.Array      # i32 [B]  (shift for the 16-bit form)
+    base_shift8: jax.Array      # i32 [B]
+    resid_shift8: jax.Array     # i32 [B]
+    base_pack16_ok: jax.Array   # bool [B]
+    resid_pack16_ok: jax.Array  # bool [B]
+    base_pack8_ok: jax.Array    # bool [B]
+    resid_pack8_ok: jax.Array   # bool [B]
 
 
 class FrameCodec:
@@ -236,26 +243,34 @@ class FrameCodec:
         return bits, any_ok, maxd, bstar, kstar
 
     @staticmethod
-    def _pack16(ci, max_step, b_low):
-        """Compact u16 transfer form of integer coefficients.
+    def _pack_small(ci, max_step, b_low):
+        """Compact u16/u8 transfer forms of integer coefficients.
 
-        shift = max(0, max_step - 14); exact iff shift <= b_low (no coded
-        plane below the shift).  Coefficients entirely below the lowest
-        coded plane (mag < 2**b_low) are zeroed: every emitted bit at planes
-        >= b_low is unchanged (their subtree maxima stay < b_low), the
-        stream is truncated above plane b_low - 1, and the zeros make the
-        transfer sparse and the host coder's row-skipping effective.
-        Returns (packed u16, shift i32, ok bool).
+        The k-bit form stores sign in the top bit and (mag >> shift) below,
+        with shift = max(0, max_step - (k-2)); exact iff shift <= b_low (no
+        coded plane below the shift): <= 15 coded planes for u16, <= 7 for
+        u8.  Coefficients entirely below the lowest coded plane
+        (mag < 2**b_low) are zeroed: every emitted bit at planes >= b_low is
+        unchanged (their subtree maxima stay < b_low), the stream is
+        truncated above plane b_low - 1, and the zeros make the host
+        coder's row-skipping effective.
+        Returns (p16, p8, shift16, shift8, ok16, ok8).
         """
-        shift = jnp.maximum(max_step - 14, 0).astype(jnp.int32)
-        ok = shift <= b_low
-        s3 = shift[:, None, None]
         mag_full = jnp.abs(ci).astype(jnp.int32)
         coded = (mag_full >> b_low[:, None, None]) > 0
-        mag = jnp.where(coded, mag_full >> s3, 0)
-        packed = jnp.where(ci < 0, 32768 + mag, mag).astype(jnp.uint16)
-        packed = jnp.where(coded, packed, 0)
-        return packed, shift, ok
+        neg = ci < 0
+
+        def pack(kbits, sign_bit, dtype):
+            shift = jnp.maximum(max_step - (kbits - 2), 0).astype(jnp.int32)
+            ok = shift <= b_low
+            mag = jnp.where(coded, mag_full >> shift[:, None, None], 0)
+            packed = jnp.where(neg & coded, sign_bit + mag,
+                               jnp.where(coded, mag, 0)).astype(dtype)
+            return packed, shift, ok
+
+        p16, s16, ok16 = pack(16, 32768, jnp.uint16)
+        p8, s8, ok8 = pack(8, 128, jnp.uint8)
+        return p16, p8, s16, s8, ok16, ok8
 
     def _recon_at(self, an, geom, bstar, kstar):
         """Reconstruction at the chosen (plane, chunk) truncation."""
@@ -305,15 +320,15 @@ class FrameCodec:
         resid_bits, resid_feas, _, bs_r, _ = self._search_truncation(
             an_r, self.resid, recon_r, data, target, jnp.float32(0.0))
 
-        pb, sb, okb = self._pack16(ci, an_b.max_step,
-                                   jnp.minimum(bs_q, bs_pure))
-        pr, sr, okr = self._pack16(
+        pb16, pb8, sb16, sb8, okb16, okb8 = self._pack_small(
+            ci, an_b.max_step, jnp.minimum(bs_q, bs_pure))
+        pr16, pr8, sr16, sr8, okr16, okr8 = self._pack_small(
             cir, an_r.max_step,
             jnp.where(skip_residual, self.resid.spec.nplanes, bs_r))
 
-        # coefficients travel to the host coder packed u16 (or as float32 —
-        # exact integers < 2**22 — when >15 planes are coded); int32
-        # device-to-host transfers are pathologically slow on axon hosts
+        # coefficients travel to the host coder packed u8/u16 (or as
+        # float32 — exact integers < 2**22 — when >15 planes are coded);
+        # int32 device-to-host transfers are pathologically slow on axon
         return EncodeResult(
             mn=mn, mx=mx, const=const, dc_b=dc, max_step_b=an_b.max_step,
             base_coef=ci.astype(jnp.float32), base_bits_q=bits_q,
@@ -321,8 +336,12 @@ class FrameCodec:
             rmin=rmin, rmax=rmax, dc_r=dcr, max_step_r=an_r.max_step,
             resid_coef=cir.astype(jnp.float32), resid_bits=resid_bits,
             resid_feasible=resid_feas, skip_residual=skip_residual,
-            base_pack16=pb, resid_pack16=pr, base_shift=sb, resid_shift=sr,
-            pack16_ok=okb & okr)
+            base_pack16=pb16, resid_pack16=pr16,
+            base_pack8=pb8, resid_pack8=pr8,
+            base_shift=sb16, resid_shift=sr16,
+            base_shift8=sb8, resid_shift8=sr8,
+            base_pack16_ok=okb16, resid_pack16_ok=okr16,
+            base_pack8_ok=okb8, resid_pack8_ok=okr8)
 
     def _encode_rate_targeted(self, data, base_budget_bits, resid_budget_bits):
         """NONE / SPARSIFICATION_FACTOR encode: truncate at bit budgets.
@@ -358,8 +377,9 @@ class FrameCodec:
         nk_r = 2 * self.resid.spec.nchunks
         bs_r = self.resid.spec.nplanes - 1 - idx_r // nk_r
 
-        pb, sb, okb = self._pack16(ci, an_b.max_step, bs)
-        pr, sr, okr = self._pack16(
+        pb16, pb8, sb16, sb8, okb16, okb8 = self._pack_small(
+            ci, an_b.max_step, bs)
+        pr16, pr8, sr16, sr8, okr16, okr8 = self._pack_small(
             cir, an_r.max_step,
             jnp.where(use_resid, bs_r, self.resid.spec.nplanes))
 
@@ -371,8 +391,12 @@ class FrameCodec:
             resid_coef=cir.astype(jnp.float32),
             resid_bits=jnp.where(use_resid, bits_r, 0),
             resid_feasible=use_resid, skip_residual=~use_resid,
-            base_pack16=pb, resid_pack16=pr, base_shift=sb, resid_shift=sr,
-            pack16_ok=okb & okr)
+            base_pack16=pb16, resid_pack16=pr16,
+            base_pack8=pb8, resid_pack8=pr8,
+            base_shift=sb16, resid_shift=sr16,
+            base_shift8=sb8, resid_shift8=sr8,
+            base_pack16_ok=okb16, resid_pack16_ok=okr16,
+            base_pack8_ok=okb8, resid_pack8_ok=okr8)
 
     # ---------------- decode stages ----------------
 

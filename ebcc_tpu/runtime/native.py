@@ -178,6 +178,14 @@ def coder_encode_batch(coef: np.ndarray, trunc_bits: np.ndarray,
         lib.ebcc_coder_encode_batch_u16(
             coef.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
             sh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), *common)
+    elif coef.dtype == np.uint8:
+        if shifts is None:
+            raise ValueError("uint8 coefficients require shifts")
+        coef = np.ascontiguousarray(coef)
+        sh = np.ascontiguousarray(shifts, np.int32)
+        lib.ebcc_coder_encode_batch_u8(
+            coef.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            sh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), *common)
     elif coef.dtype == np.float32:
         coef = np.ascontiguousarray(coef)
         lib.ebcc_coder_encode_batch_f32(

@@ -384,6 +384,26 @@ void ebcc_coder_encode_batch_u16(const uint16_t* coef, const int32_t* shifts,
   });
 }
 
+// u8 variant: sign in bit 7, (mag >> shift[i]) in the low 7 bits.
+void ebcc_coder_encode_batch_u8(const uint8_t* coef, const int32_t* shifts,
+                                int n, int h, int w, int g, int nplanes,
+                                int nchunks, const int64_t* trunc_bits,
+                                uint8_t* out, int64_t cap_bytes) {
+  Spec s{h, w, g, nplanes, nchunks};
+  int hw = (int)std::thread::hardware_concurrency();
+  run_threads(n, hw, [&](int i) {
+    const size_t sz = (size_t)h * w;
+    std::vector<int32_t> tmp(sz);
+    const uint8_t* src = coef + (size_t)i * sz;
+    const int sh = shifts[i];
+    for (size_t k = 0; k < sz; ++k) {
+      int32_t mag = (int32_t)(src[k] & 0x7F) << sh;
+      tmp[k] = (src[k] & 0x80) ? -mag : mag;
+    }
+    encode_one(tmp.data(), s, trunc_bits[i], out + (size_t)i * cap_bytes);
+  });
+}
+
 // bytes: concatenated streams; offsets/sizes in bytes; nbits: stored stream
 // lengths in bits; max_step: per-frame top plane.  out: float32 [n, h*w].
 void ebcc_coder_decode_batch(const uint8_t* bytes, const int64_t* offsets,

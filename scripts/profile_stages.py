@@ -48,12 +48,15 @@ def main():
     t["1_device_encode_search"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    resn = {k: np.asarray(v) for k, v in res._asdict().items()}
-    t["2_device_to_host_transfer"] = time.perf_counter() - t0
+    # mirror api.compress: large coefficient forms fetched lazily
+    rd = res._asdict()
+    resn = {k: np.asarray(v) for k, v in rd.items()
+            if k not in api._DEFERRED_FIELDS}
+    t["2_device_to_host_transfer_small"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    streams = api._pack_streams(resn, codec)
-    t["3_native_pack"] = time.perf_counter() - t0
+    streams = api._pack_streams(resn, codec, rd)
+    t["3_coef_fetch_plus_native_pack"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     zblobs = api._zstd_stage(resn, streams, B, cfg)
