@@ -70,3 +70,16 @@ def base_error_quantile(default: float = 1e-6) -> float:
 def pure_fallback_disabled() -> bool:
     """EBCC_DISABLE_PURE_JP2_FALLBACK (j2k_codec.h:481-483)."""
     return os.environ.get("EBCC_DISABLE_PURE_JP2_FALLBACK") is not None
+
+
+def pure_fallback_consistency_disabled() -> bool:
+    """EBCC_DISABLE_PURE_JP2_FALLBACK_CONSISTENCY (j2k_codec.h:484-487).
+
+    Accepted for config-surface parity.  In the reference this skips a
+    re-encode that restarts the pure-JP2 search from the initial base CR
+    (j2k_codec.h:668-678).  In this codec the pure fallback is evaluated on
+    the same embedded bitstream as the main search, so the two are
+    consistent by construction and the flag has no effect.
+    """
+    return os.environ.get(
+        "EBCC_DISABLE_PURE_JP2_FALLBACK_CONSISTENCY") is not None

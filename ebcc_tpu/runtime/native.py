@@ -61,6 +61,14 @@ def _load():
 HAVE_NATIVE = _load() is not None
 
 
+def force_coder_path(mode: int):
+    """Test hook: 0 = auto, 1 = force scalar coder, 2 = force word-parallel
+    (BMI2) coder."""
+    lib = _load()
+    if lib is not None:
+        lib.ebcc_coder_force_path(ctypes.c_int(mode))
+
+
 def _ptr_array(bufs):
     arr = (ctypes.POINTER(ctypes.c_uint8) * len(bufs))()
     for i, b in enumerate(bufs):

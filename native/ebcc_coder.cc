@@ -23,21 +23,45 @@
 #include <thread>
 #include <vector>
 
+// word-parallel fast path (ebcc_coder_fast.cc, compiled with -mbmi2)
+namespace ebcc_fast {
+struct Spec {
+  int h, w, g, nplanes, nchunks;
+};
+bool cpu_has_bmi2();
+void encode_one_fast(const int32_t*, const Spec&, int64_t, uint8_t*);
+int decode_core_fast(const uint8_t*, int64_t, int, const Spec&, uint32_t*,
+                     uint8_t*, int16_t*, uint8_t*);
+}  // namespace ebcc_fast
+
 namespace {
 
 struct Spec {
   int h, w, g, nplanes, nchunks;
 };
 
+int g_force_path = 0;  // 0 = auto, 1 = force scalar, 2 = force fast
+
+inline bool use_fast() {
+  static const bool has = ebcc_fast::cpu_has_bmi2();
+  if (g_force_path == 1) return false;
+  if (g_force_path == 2) return true;
+  return has;
+}
+
+inline ebcc_fast::Spec to_fast(const Spec& s) {
+  return ebcc_fast::Spec{s.h, s.w, s.g, s.nplanes, s.nchunks};
+}
+
 static inline int msb_of(uint32_t v) {
   return v ? 31 - __builtin_clz(v) : -1;
 }
 
-// Per-frame encoder.  coef: int32 [h*w].  out: zeroed byte buffer of
-// cap_bytes.  Emits bits until trunc_bits, then stops (the remaining stream
-// length is known to the caller from the device-side counts).
-void encode_one(const int32_t* coef, const Spec& s, int64_t trunc_bits,
-                uint8_t* out) {
+// Per-frame encoder (scalar path).  coef: int32 [h*w].  out: zeroed byte
+// buffer of cap_bytes.  Emits bits until trunc_bits, then stops (the
+// remaining stream length is known to the caller from the device counts).
+void encode_one_scalar(const int32_t* coef, const Spec& s,
+                       int64_t trunc_bits, uint8_t* out) {
   const int h = s.h, w = s.w, g = s.g, J = s.nchunks;
   const size_t n = (size_t)h * w;
   std::vector<int8_t> msb(n);
@@ -156,13 +180,13 @@ void encode_one(const int32_t* coef, const Spec& s, int64_t trunc_bits,
   }
 }
 
-// Per-frame structural decode into (mag, neg, last) state arrays.
-// Returns b_end: the lowest bitplane entered.  For every significant
-// coefficient, last is b_end or b_end + 1 (refinement updates last at every
-// entered plane until the stream runs out mid-plane).
-int decode_core(const uint8_t* bytes, int64_t nbits, int max_step,
-                const Spec& s, uint32_t* mag, uint8_t* neg, int16_t* last,
-                uint8_t* sig0) {
+// Per-frame structural decode into (mag, neg, last) state arrays (scalar
+// path).  Returns b_end: the lowest bitplane entered.  For every
+// significant coefficient, last is b_end or b_end + 1 (refinement updates
+// last at every entered plane until the stream runs out mid-plane).
+int decode_core_scalar(const uint8_t* bytes, int64_t nbits, int max_step,
+                       const Spec& s, uint32_t* mag, uint8_t* neg,
+                       int16_t* last, uint8_t* sig0) {
   const int h = s.h, w = s.w, g = s.g, J = s.nchunks;
   const size_t n = (size_t)h * w;
   memset(sig0, 0, n);
@@ -269,6 +293,24 @@ int decode_core(const uint8_t* bytes, int64_t nbits, int max_step,
   return b_end;
 }
 
+// dispatchers: word-parallel fast path when the CPU has BMI2
+void encode_one(const int32_t* coef, const Spec& s, int64_t trunc_bits,
+                uint8_t* out) {
+  if (use_fast())
+    ebcc_fast::encode_one_fast(coef, to_fast(s), trunc_bits, out);
+  else
+    encode_one_scalar(coef, s, trunc_bits, out);
+}
+
+int decode_core(const uint8_t* bytes, int64_t nbits, int max_step,
+                const Spec& s, uint32_t* mag, uint8_t* neg, int16_t* last,
+                uint8_t* sig0) {
+  if (use_fast())
+    return ebcc_fast::decode_core_fast(bytes, nbits, max_step, to_fast(s),
+                                       mag, neg, last, sig0);
+  return decode_core_scalar(bytes, nbits, max_step, s, mag, neg, last, sig0);
+}
+
 // f32 packer: midpoint-reconstructed coefficients.
 void decode_one(const uint8_t* bytes, int64_t nbits, int max_step,
                 const Spec& s, float* out) {
@@ -332,6 +374,10 @@ void run_threads(int n, int nthreads, const std::function<void(int)>& fn) {
 }  // namespace
 
 extern "C" {
+
+// test hook: 0 = auto (BMI2 when available), 1 = force scalar, 2 = force
+// the word-parallel path
+void ebcc_coder_force_path(int v) { g_force_path = v; }
 
 // coef: int32 [n, h*w]; trunc_bits: int64 [n]; out: zeroed uint8
 // [n, cap_bytes] arena.

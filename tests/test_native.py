@@ -70,6 +70,29 @@ def test_decode_matches_jax_at_truncations(coefs, packed):
         assert np.array_equal(dn, dj), f"frac={frac}"
 
 
+def test_fast_and_scalar_coders_identical(coefs, packed):
+    """The BMI2 word-parallel coder must be bit-identical with the scalar
+    coder (which in turn matches the JAX packer)."""
+    totals, words, ms = packed
+    trunc = totals.astype(np.int64)
+    try:
+        native.force_coder_path(1)
+        enc_s = native.coder_encode_batch(coefs, trunc, G, P, J)
+        native.force_coder_path(2)
+        enc_f = native.coder_encode_batch(coefs, trunc, G, P, J)
+        assert np.array_equal(enc_s, enc_f)
+        streams = [enc_f[i, : (int(totals[i]) + 7) // 8].tobytes()
+                   for i in range(len(coefs))]
+        nb = (totals * 0.6).astype(np.int64)
+        native.force_coder_path(1)
+        dec_s = native.coder_decode_batch(streams, nb, ms, H, W, G, P, J)
+        native.force_coder_path(2)
+        dec_f = native.coder_decode_batch(streams, nb, ms, H, W, G, P, J)
+        assert np.array_equal(dec_s, dec_f)
+    finally:
+        native.force_coder_path(0)
+
+
 def test_roundtrip_full_stream_is_lossless_ints(coefs, packed):
     """At full stream length the midpoint reconstruction equals the
     integer coefficients exactly (uncertainty interval is empty)."""
