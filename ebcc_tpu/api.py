@@ -262,11 +262,16 @@ def _pack_streams(res, codec, rd):
     return base, resid
 
 
+def _geom(config):
+    return (config.base_levels, config.residual_levels, config.nchunks,
+            config.base_nplanes, config.residual_nplanes)
+
+
 def _assemble_frame(res, i, h, w, config, mode, streams, zblobs) -> bytes:
     mn, mx = float(res["mn"][i]), float(res["mx"][i])
     if res["const"][i]:
         return container.pack_frame(int(mode), h, w, mn, mx, const=True,
-                                    tot_size=h * w)
+                                    tot_size=h * w, geom=_geom(config))
     base_stream, _ = streams
     bits_q = int(res["base_bits_q"][i])
     bits_pure = int(res["base_bits_pure"][i])
@@ -290,21 +295,27 @@ def _assemble_frame(res, i, h, w, config, mode, streams, zblobs) -> bytes:
             elog.debug("frame %d: residual dropped (<= %d bytes)",
                        i, MIN_RESID_BYTES)
 
-    combined = container.pack_frame(
-        int(mode), h, w, mn, mx,
-        base_stream=base_stream(i, bits_q), base_nbits=bits_q,
-        resid=resid_part,
-        pointwise=mode == ResidualMode.POINTWISE_MAX_ERROR, **base_meta)
+    def pack_variant(bits, rpart):
+        raw = base_stream(i, bits)
+        # final entropy stage on the base stream (the reference's base
+        # layer is arithmetic-coded inside JPEG2000; ours is raw bitplane
+        # output, worth a few percent to zstd)
+        z = _zstd_compress(raw, min(config.zstd_level, 10))
+        stream, base_z = (z, True) if len(z) < len(raw) else (raw, False)
+        return container.pack_frame(
+            int(mode), h, w, mn, mx,
+            base_stream=stream, base_nbits=bits, base_z=base_z,
+            geom=_geom(config), resid=rpart,
+            pointwise=mode == ResidualMode.POINTWISE_MAX_ERROR, **base_meta)
+
+    combined = pack_variant(bits_q, resid_part)
     if not error_bounded:
         return combined
     # pure-base fallback comparison (j2k_codec.h:663-695)
     pure_required = (not skip) and (resid_part is None or not resid_feasible)
     if pure_fallback_disabled() and not pure_required:
         return combined
-    pure = container.pack_frame(
-        int(mode), h, w, mn, mx,
-        base_stream=base_stream(i, bits_pure), base_nbits=bits_pure,
-        pointwise=mode == ResidualMode.POINTWISE_MAX_ERROR, **base_meta)
+    pure = pack_variant(bits_pure, None)
     # prefer pure only when it actually meets the bound (or is the last
     # resort because the residual path failed) — a smaller-but-infeasible
     # pure stream must not win
@@ -333,6 +344,21 @@ def decompress(blob: bytes, config: EBCCConfig | None = None) -> np.ndarray:
         return np.stack(out) if n > 1 else np.asarray(out[0])[None]
 
     h, w = metas[todo[0]][0].h, metas[todo[0]][0].w
+    # frames are self-describing: adopt the encoder's coder geometry
+    # (bitstream layout depends on it) rather than this config's defaults
+    g0 = metas[todo[0]][0]
+    import dataclasses
+    config = dataclasses.replace(
+        config, base_levels=g0.base_levels, residual_levels=g0.resid_levels,
+        nchunks=g0.nchunks, base_nplanes=g0.base_nplanes,
+        residual_nplanes=g0.resid_nplanes)
+    for idx in todo:
+        hh = metas[idx][0]
+        if (hh.base_levels, hh.resid_levels, hh.nchunks, hh.base_nplanes,
+                hh.resid_nplanes) != (g0.base_levels, g0.resid_levels,
+                                      g0.nchunks, g0.base_nplanes,
+                                      g0.resid_nplanes):
+            raise ValueError("mixed coder geometries in one blob")
     codec = _codec_for(h, w, config)
     bsz = config.max_batch
     pending = []  # (idxs, device_result)
@@ -361,6 +387,9 @@ def decompress(blob: bytes, config: EBCCConfig | None = None) -> np.ndarray:
         zlist, zmax, zpos = [], [], []
         for k, idx in enumerate(idxs):
             hdr, zblob, base_stream, _ = metas[idx]
+            if hdr.flags & container.FLAG_BASE_Z:
+                base_stream = _zstd_decompress(
+                    base_stream, (hdr.base_nbits + 7) // 8)
             base_streams[k] = base_stream
             bb[k] = hdr.base_nbits
             msb_[k] = hdr.max_step_b

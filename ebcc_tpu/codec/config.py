@@ -39,7 +39,10 @@ class EBCCConfig:
     # TPU codec internals (static; affect the bitstream format)
     base_levels: int = 5            # DWT levels of the base layer
     residual_levels: int = 3        # DWT levels of the residual layer
-    nchunks: int = 4                # truncation chunks per bitplane pass
+    nchunks: int = 8                # truncation chunks per bitplane pass
+    # (8 stripes give ~2% better CR than 4 at equal bound via finer
+    # truncation granularity; candidate evaluation is batched so the extra
+    # fine-scan cost is negligible on device)
     base_nplanes: int = 22
     residual_nplanes: int = 14
     base_cap_bits_per_px: int = 8

@@ -18,11 +18,20 @@ MAGIC = b"EBT1"
 FLAG_CONST = 1
 FLAG_RESID = 2
 FLAG_POINTWISE = 4
+FLAG_BASE_Z = 8     # base bitstream is zstd-compressed (raw size from
+                    # base_nbits)
 
-_HDR = struct.Struct("<4sBBHII ff fI B")       # fixed part
+_HDR = struct.Struct("<4sBBHII ff fI B BBBBB")  # fixed part
 _RES = struct.Struct("<fffBIQ")                # residual part
 # fields: magic, version, flags, mode, h, w | mn, mx | dc_b, base_nbits,
-# max_step_b ; residual: rmin, rmax, dc_r, max_step_r, resid_nbits, zlen
+# max_step_b | base_levels, resid_levels, nchunks, base_nplanes,
+# resid_nplanes ; residual: rmin, rmax, dc_r, max_step_r, resid_nbits, zlen
+#
+# The coder-geometry fields make frames self-describing: the bitstream
+# layout depends on them, so a decoder must not rely on its own config
+# defaults matching the encoder's.
+
+VERSION = 2
 
 
 class FrameHeader(NamedTuple):
@@ -35,6 +44,11 @@ class FrameHeader(NamedTuple):
     dc_b: float
     base_nbits: int
     max_step_b: int
+    base_levels: int
+    resid_levels: int
+    nchunks: int
+    base_nplanes: int
+    resid_nplanes: int
     rmin: float
     rmax: float
     dc_r: float
@@ -46,18 +60,25 @@ class FrameHeader(NamedTuple):
 def pack_frame(mode: int, h: int, w: int, mn: float, mx: float, *,
                const: bool = False, tot_size: int = 0,
                dc_b: float = 0.0, base_nbits: int = 0, max_step_b: int = 0,
-               base_stream: bytes = b"",
+               base_stream: bytes = b"", base_z: bool = False,
+               geom: tuple = (0, 0, 0, 0, 0),
                resid: tuple | None = None, pointwise: bool = False) -> bytes:
     """Serialize one frame.  ``resid`` = (rmin, rmax, dc_r, max_step_r,
-    resid_nbits, zstd_blob) or None."""
+    resid_nbits, zstd_blob) or None.  ``base_z``: base_stream bytes are
+    zstd-compressed.  ``geom`` = (base_levels, resid_levels, nchunks,
+    base_nplanes, resid_nplanes) — the coder geometry the streams were
+    produced with."""
     flags = (FLAG_CONST if const else 0) | (FLAG_POINTWISE if pointwise else 0)
+    if base_z:
+        flags |= FLAG_BASE_Z
     if resid is not None:
         flags |= FLAG_RESID
     if const:
-        head = _HDR.pack(MAGIC, 1, flags, mode, h, w, mn, mx, 0.0, 0, 0)
+        head = _HDR.pack(MAGIC, VERSION, flags, mode, h, w, mn, mx, 0.0, 0,
+                         0, *geom)
         return head + struct.pack("<Q", tot_size)
-    head = _HDR.pack(MAGIC, 1, flags, mode, h, w, mn, mx,
-                     dc_b, base_nbits, max_step_b)
+    head = _HDR.pack(MAGIC, VERSION, flags, mode, h, w, mn, mx,
+                     dc_b, base_nbits, max_step_b, *geom)
     parts = [head]
     if resid is not None:
         rmin, rmax, dc_r, max_step_r, resid_nbits, zblob = resid
@@ -73,15 +94,15 @@ def unpack_frame(buf: bytes):
     tot_size)."""
     if len(buf) < _HDR.size or buf[:4] != MAGIC:
         raise ValueError("not an EBCC-TPU frame")
-    magic, ver, flags, mode, h, w, mn, mx, dc_b, base_nbits, max_step_b = \
-        _HDR.unpack_from(buf, 0)
-    if magic != MAGIC or ver != 1:
-        raise ValueError("not an EBCC-TPU frame")
+    (magic, ver, flags, mode, h, w, mn, mx, dc_b, base_nbits, max_step_b,
+     bl, rl, nc, bp_, rp) = _HDR.unpack_from(buf, 0)
+    if magic != MAGIC or ver != VERSION:
+        raise ValueError(f"unsupported EBCC-TPU frame version {ver}")
     off = _HDR.size
     if flags & FLAG_CONST:
         (tot,) = struct.unpack_from("<Q", buf, off)
         hdr = FrameHeader(flags, mode, h, w, mn, mx, 0.0, 0, 0,
-                          0.0, 0.0, 0.0, 0, 0, 0)
+                          bl, rl, nc, bp_, rp, 0.0, 0.0, 0.0, 0, 0, 0)
         return hdr, b"", b"", tot
     rmin = rmax = dc_r = 0.0
     max_step_r = resid_nbits = zlen = 0
@@ -94,8 +115,8 @@ def unpack_frame(buf: bytes):
         off += zlen
     base_stream = buf[off:]
     hdr = FrameHeader(flags, mode, h, w, mn, mx, dc_b, base_nbits,
-                      max_step_b, rmin, rmax, dc_r, max_step_r,
-                      resid_nbits, zlen)
+                      max_step_b, bl, rl, nc, bp_, rp,
+                      rmin, rmax, dc_r, max_step_r, resid_nbits, zlen)
     return hdr, zblob, base_stream, 0
 
 

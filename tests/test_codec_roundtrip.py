@@ -81,6 +81,21 @@ class TestNone:
         assert float(np.max(np.abs(rec - data))) / rng < 0.25
 
 
+class TestSelfDescribingBlobs:
+    def test_decode_with_different_config_defaults(self, small_frame):
+        """Frames carry their coder geometry: a blob encoded with one
+        nchunks/levels setting must decode correctly under a config with
+        different defaults (regression: geometry used to come from the
+        decoder's config)."""
+        data = small_frame[None]
+        enc_cfg = small_cfg(mode=ResidualMode.MAX_ERROR, error=0.5,
+                            nchunks=4, base_levels=4)
+        blob = ebcc_tpu.compress(data, enc_cfg)
+        dec_cfg = small_cfg(mode=ResidualMode.MAX_ERROR, error=0.5)
+        rec = ebcc_tpu.decompress(blob, dec_cfg)
+        assert float(np.max(np.abs(rec - data))) <= 0.5
+
+
 class TestSparsification:
     def test_rate_targeted_with_residual(self, small_frame):
         """SPARSIFICATION_FACTOR: base + rate-budgeted residual layer
