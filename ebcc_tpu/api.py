@@ -43,7 +43,8 @@ MIN_RESID_BYTES = 16
 # flags decide which representation (u8 / u16 / exact f32) is needed
 _F32_COEF_FIELDS = ("base_coef", "resid_coef")
 _DEFERRED_FIELDS = _F32_COEF_FIELDS + (
-    "base_pack16", "resid_pack16", "base_pack8", "resid_pack8")
+    "base_pack16", "resid_pack16", "base_pack8", "resid_pack8",
+    "base_sp_delta", "base_sp_val")
 
 
 def _zstd_compress(data: bytes, level: int) -> bytes:
@@ -204,13 +205,21 @@ def _zstd_stage(res, streams, n, config):
 def _fetch_coef(res, rd, layer):
     """Pull the smallest valid coefficient form for one layer off device.
 
-    Returns (coef ndarray, shifts or None) ready for the native coder.
+    Returns ("sparse", deltas, vals, counts, shifts) or
+    ("dense", coef ndarray, shifts-or-None) ready for the native coder,
+    smallest representation first: sparse -> u8 -> u16 -> exact f32.
     """
+    if layer == "base" and res["base_sparse_ok"].all():
+        return ("sparse", np.asarray(rd["base_sp_delta"]),
+                np.asarray(rd["base_sp_val"]), res["base_nsig"],
+                res["base_shift"])
     if res[f"{layer}_pack8_ok"].all():
-        return np.asarray(rd[f"{layer}_pack8"]), res[f"{layer}_shift8"]
+        return ("dense", np.asarray(rd[f"{layer}_pack8"]),
+                res[f"{layer}_shift8"])
     if res[f"{layer}_pack16_ok"].all():
-        return np.asarray(rd[f"{layer}_pack16"]), res[f"{layer}_shift"]
-    return np.asarray(rd[f"{layer}_coef"]), None
+        return ("dense", np.asarray(rd[f"{layer}_pack16"]),
+                res[f"{layer}_shift"])
+    return ("dense", np.asarray(rd[f"{layer}_coef"]), None)
 
 
 def _pack_streams(res, codec, rd):
@@ -230,14 +239,20 @@ def _pack_streams(res, codec, rd):
     trunc_r = np.where(res["skip_residual"], 0,
                        res["resid_bits"]).astype(np.int64)
     if _native.HAVE_NATIVE:
-        coef_b, sh_b = _fetch_coef(res, rd, "base")
-        coef_r, sh_r = _fetch_coef(res, rd, "resid")
-        base_arena = _native.coder_encode_batch(
-            coef_b, trunc_b, base_spec.group_levels, base_spec.nplanes,
-            base_spec.nchunks, shifts=sh_b)
-        resid_arena = _native.coder_encode_batch(
-            coef_r, trunc_r, resid_spec.group_levels, resid_spec.nplanes,
-            resid_spec.nchunks, shifts=sh_r)
+        def encode_layer(layer, spec, trunc):
+            form = _fetch_coef(res, rd, layer)
+            if form[0] == "sparse":
+                _, deltas, vals, counts, shifts = form
+                return _native.coder_encode_batch_sparse(
+                    deltas, vals, counts, shifts, spec.height, spec.width,
+                    trunc, spec.group_levels, spec.nplanes, spec.nchunks)
+            _, coef, shifts = form
+            return _native.coder_encode_batch(
+                coef, trunc, spec.group_levels, spec.nplanes, spec.nchunks,
+                shifts=shifts)
+
+        base_arena = encode_layer("base", base_spec, trunc_b)
+        resid_arena = encode_layer("resid", resid_spec, trunc_r)
 
         def base(i, bits):
             return base_arena[i, : (int(bits) + 7) // 8].tobytes()

@@ -98,6 +98,14 @@ class EncodeResult(NamedTuple):
     resid_pack16_ok: jax.Array  # bool [B]
     base_pack8_ok: jax.Array    # bool [B]
     resid_pack8_ok: jax.Array   # bool [B]
+    # sparse form of the base layer (typically ~6% of coefficients survive
+    # the coded-plane threshold): u16 position deltas + u16 packed values,
+    # capped at K = hp*wp/8 entries.  Valid (base_sparse_ok) when the count
+    # fits the cap, every gap fits u16, and pack16 is exact.
+    base_sp_delta: jax.Array    # u16 [B, K]
+    base_sp_val: jax.Array      # u16 [B, K]
+    base_nsig: jax.Array        # i32 [B]
+    base_sparse_ok: jax.Array   # bool [B]
 
 
 class FrameCodec:
@@ -110,6 +118,7 @@ class FrameCodec:
                                c.nchunks, c.base_cap_bits_per_px)
         self.resid = _make_geom(h, w, c.residual_levels, c.residual_nplanes,
                                 c.nchunks, c.residual_cap_bits_per_px)
+        self.base_sparse_k = (self.base.hp * self.base.wp) // 8
         self.wb = jnp.asarray(
             weights.weight_array(self.base.hp, self.base.wp, c.base_levels))
         self.wr = jnp.asarray(weights.weight_array(
@@ -272,6 +281,26 @@ class FrameCodec:
         p8, s8, ok8 = pack(8, 128, jnp.uint8)
         return p16, p8, s16, s8, ok16, ok8
 
+    def _sparsify(self, p16, pack16_ok):
+        """Sparse (delta, value) transfer form of a packed-u16 plane."""
+        b = p16.shape[0]
+        n = p16.shape[1] * p16.shape[2]
+        k = self.base_sparse_k
+        flat = p16.reshape(b, n)
+        nzm = flat != 0
+        nsig = jnp.sum(nzm, axis=-1, dtype=jnp.int32)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        keys = jnp.where(nzm, idx, jnp.int32(n))
+        pos = jnp.sort(keys, axis=-1)[:, :k]
+        delta = jnp.concatenate([pos[:, :1], pos[:, 1:] - pos[:, :-1]],
+                                axis=1)
+        valid = jnp.arange(k)[None, :] < nsig[:, None]
+        gaps_ok = jnp.all(jnp.where(valid, delta, 0) <= 65535, axis=-1)
+        vals = jnp.take_along_axis(flat, jnp.minimum(pos, n - 1), axis=-1)
+        ok = (nsig <= k) & gaps_ok & pack16_ok
+        return (jnp.where(valid, delta, 0).astype(jnp.uint16),
+                jnp.where(valid, vals, 0).astype(jnp.uint16), nsig, ok)
+
     def _recon_at(self, an, geom, bstar, kstar):
         """Reconstruction at the chosen (plane, chunk) truncation."""
         j = geom.spec.nchunks
@@ -325,6 +354,7 @@ class FrameCodec:
         pr16, pr8, sr16, sr8, okr16, okr8 = self._pack_small(
             cir, an_r.max_step,
             jnp.where(skip_residual, self.resid.spec.nplanes, bs_r))
+        spd, spv, nsig, oksp = self._sparsify(pb16, okb16)
 
         # coefficients travel to the host coder packed u8/u16 (or as
         # float32 — exact integers < 2**22 — when >15 planes are coded);
@@ -341,7 +371,9 @@ class FrameCodec:
             base_shift=sb16, resid_shift=sr16,
             base_shift8=sb8, resid_shift8=sr8,
             base_pack16_ok=okb16, resid_pack16_ok=okr16,
-            base_pack8_ok=okb8, resid_pack8_ok=okr8)
+            base_pack8_ok=okb8, resid_pack8_ok=okr8,
+            base_sp_delta=spd, base_sp_val=spv, base_nsig=nsig,
+            base_sparse_ok=oksp)
 
     def _encode_rate_targeted(self, data, base_budget_bits, resid_budget_bits):
         """NONE / SPARSIFICATION_FACTOR encode: truncate at bit budgets.
@@ -382,6 +414,7 @@ class FrameCodec:
         pr16, pr8, sr16, sr8, okr16, okr8 = self._pack_small(
             cir, an_r.max_step,
             jnp.where(use_resid, bs_r, self.resid.spec.nplanes))
+        spd, spv, nsig, oksp = self._sparsify(pb16, okb16)
 
         return EncodeResult(
             mn=mn, mx=mx, const=const, dc_b=dc, max_step_b=an_b.max_step,
@@ -396,7 +429,9 @@ class FrameCodec:
             base_shift=sb16, resid_shift=sr16,
             base_shift8=sb8, resid_shift8=sr8,
             base_pack16_ok=okb16, resid_pack16_ok=okr16,
-            base_pack8_ok=okb8, resid_pack8_ok=okr8)
+            base_pack8_ok=okb8, resid_pack8_ok=okr8,
+            base_sp_delta=spd, base_sp_val=spv, base_nsig=nsig,
+            base_sparse_ok=oksp)
 
     # ---------------- decode stages ----------------
 

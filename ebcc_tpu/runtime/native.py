@@ -235,6 +235,38 @@ def coder_decode_batch(streams: list[bytes], nbits: np.ndarray,
     return out
 
 
+def coder_encode_batch_sparse(deltas: np.ndarray, vals: np.ndarray,
+                              counts: np.ndarray, shifts: np.ndarray,
+                              h: int, w: int, trunc_bits: np.ndarray,
+                              group_levels: int, nplanes: int, nchunks: int
+                              ) -> np.ndarray:
+    """Native bitplane encode from the sparse (delta, value) form."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    deltas = np.ascontiguousarray(deltas, np.uint16)
+    vals = np.ascontiguousarray(vals, np.uint16)
+    n, kcap = deltas.shape
+    counts = np.ascontiguousarray(counts, np.int32)
+    shifts = np.ascontiguousarray(shifts, np.int32)
+    trunc = np.ascontiguousarray(trunc_bits, np.int64)
+    cap_bytes = max(8, (int(trunc.max(initial=0)) + 7) // 8)
+    out = np.zeros((n, cap_bytes), np.uint8)
+    lib.ebcc_coder_encode_batch_sparse(
+        deltas.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        shifts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(kcap),
+        ctypes.c_int(n), ctypes.c_int(h), ctypes.c_int(w),
+        ctypes.c_int(group_levels), ctypes.c_int(nplanes),
+        ctypes.c_int(nchunks),
+        trunc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(cap_bytes))
+    return out
+
+
 def coder_decode_batch_u16(streams: list[bytes], nbits: np.ndarray,
                            max_step: np.ndarray, h: int, w: int,
                            group_levels: int, nplanes: int, nchunks: int):

@@ -450,6 +450,35 @@ void ebcc_coder_encode_batch_u8(const uint8_t* coef, const int32_t* shifts,
   });
 }
 
+// sparse variant: per frame, counts[i] (delta, value) pairs; position of
+// entry k = cumulative sum of deltas[0..k]; value: sign in bit 15,
+// (mag >> shifts[i]) in the low 15 bits.
+void ebcc_coder_encode_batch_sparse(const uint16_t* deltas,
+                                    const uint16_t* vals,
+                                    const int32_t* counts,
+                                    const int32_t* shifts, int64_t kcap,
+                                    int n, int h, int w, int g, int nplanes,
+                                    int nchunks, const int64_t* trunc_bits,
+                                    uint8_t* out, int64_t cap_bytes) {
+  Spec s{h, w, g, nplanes, nchunks};
+  int hw = (int)std::thread::hardware_concurrency();
+  run_threads(n, hw, [&](int i) {
+    const size_t sz = (size_t)h * w;
+    std::vector<int32_t> tmp(sz, 0);
+    const uint16_t* d = deltas + (size_t)i * kcap;
+    const uint16_t* v = vals + (size_t)i * kcap;
+    const int sh = shifts[i];
+    int64_t p = -1;
+    for (int32_t k = 0; k < counts[i]; ++k) {
+      p = (k == 0) ? (int64_t)d[k] : p + d[k];
+      if (p >= (int64_t)sz) break;
+      int32_t mag = (int32_t)(v[k] & 0x7FFF) << sh;
+      tmp[p] = (v[k] & 0x8000) ? -mag : mag;
+    }
+    encode_one(tmp.data(), s, trunc_bits[i], out + (size_t)i * cap_bytes);
+  });
+}
+
 // bytes: concatenated streams; offsets/sizes in bytes; nbits: stored stream
 // lengths in bits; max_step: per-frame top plane.  out: float32 [n, h*w].
 void ebcc_coder_decode_batch(const uint8_t* bytes, const int64_t* offsets,

@@ -1,0 +1,86 @@
+"""Sparse base-coefficient transfer must be byte-identical to dense.
+
+The sparse (delta, value) form is a pure transfer optimisation: the native
+coder reconstructs the same coefficient plane, so blobs must match the
+dense-path blobs exactly.
+"""
+
+import numpy as np
+import pytest
+
+import ebcc_tpu
+import ebcc_tpu.api as api
+from ebcc_tpu import EBCCConfig, ResidualMode
+from ebcc_tpu.codec.pipeline import FrameCodec
+from ebcc_tpu.runtime import native
+
+if not native.HAVE_NATIVE:  # pragma: no cover
+    pytest.skip("native runtime not built", allow_module_level=True)
+
+H, W = 128, 256
+
+
+@pytest.fixture(scope="module")
+def smooth():
+    """Very smooth field at a loose bound -> few coded planes -> sparse."""
+    y, x = np.mgrid[0:H, 0:W]
+    base = (260 + 25 * np.sin(y / H * np.pi) *
+            np.cos(x / W * 2 * np.pi)).astype(np.float32)
+    rng = np.random.default_rng(3)
+    return np.stack([base + rng.normal(0, 0.02, base.shape)
+                     .astype(np.float32) for _ in range(2)])
+
+
+def test_sparse_blob_equals_dense_blob(smooth):
+    cfg = EBCCConfig(mode=ResidualMode.MAX_ERROR, error=2.0, base_cr=100,
+                     max_batch=2)
+    codec = FrameCodec(H, W, cfg)
+    res = codec.encode_error_bounded(smooth, np.full(2, 2.0, np.float32),
+                                     1e-6)
+    if not np.asarray(res.base_sparse_ok).all():
+        pytest.skip("sparse form not applicable at this size/bound")
+
+    blob = ebcc_tpu.compress(smooth, cfg)
+    rec = ebcc_tpu.decompress(blob, cfg)
+    assert float(np.max(np.abs(rec - smooth))) <= 2.0
+
+    orig = api._fetch_coef
+
+    def force_dense(res_, rd, layer):
+        if layer == "base":
+            return ("dense", np.asarray(rd["base_pack16"]),
+                    res_["base_shift"])
+        return orig(res_, rd, layer)
+
+    api._fetch_coef = force_dense
+    try:
+        blob_dense = ebcc_tpu.compress(smooth, cfg)
+    finally:
+        api._fetch_coef = orig
+    assert blob == blob_dense
+
+
+def test_sparsify_roundtrip_exact():
+    """Device sparsify -> native expansion reproduces the packed plane."""
+    import jax.numpy as jnp
+    cfg = EBCCConfig(max_batch=2)
+    codec = FrameCodec(H, W, cfg)
+    rng = np.random.default_rng(1)
+    p16 = np.zeros((2, codec.base.hp, codec.base.wp), np.uint16)
+    # sparse scatter of values incl. sign bits
+    for b in range(2):
+        n = 500 + 300 * b
+        ys = rng.integers(0, codec.base.hp, n)
+        xs = rng.integers(0, codec.base.wp, n)
+        p16[b, ys, xs] = rng.integers(1, 1 << 15, n).astype(np.uint16) | \
+            (rng.integers(0, 2, n).astype(np.uint16) << 15)
+    d, v, nsig, ok = codec._sparsify(jnp.asarray(p16),
+                                     jnp.ones(2, bool))
+    d, v, nsig = np.asarray(d), np.asarray(v), np.asarray(nsig)
+    assert np.asarray(ok).all()
+    for b in range(2):
+        pos = np.cumsum(d[b][: nsig[b]].astype(np.int64))
+        rebuilt = np.zeros(codec.base.hp * codec.base.wp, np.uint16)
+        rebuilt[pos] = v[b][: nsig[b]]
+        assert np.array_equal(rebuilt.reshape(codec.base.hp, codec.base.wp),
+                              p16[b])
