@@ -1,0 +1,81 @@
+"""Edge cases and input validation (reference parity: check_nan_inf
+j2k_codec.h:451-458, const-field shortcut :515, container sanity)."""
+
+import numpy as np
+import pytest
+
+import ebcc_tpu
+from ebcc_tpu import EBCCConfig, ResidualMode
+from ebcc_tpu.codec import container
+
+
+def small_cfg(**kw):
+    kw.setdefault("max_batch", 1)
+    kw.setdefault("mode", ResidualMode.MAX_ERROR)
+    kw.setdefault("error", 0.5)
+    return EBCCConfig(**kw)
+
+
+def test_nan_rejected():
+    data = np.ones((1, 64, 96), np.float32)
+    data[0, 3, 4] = np.nan
+    with pytest.raises(ValueError, match="NaN"):
+        ebcc_tpu.compress(data, small_cfg())
+
+
+def test_inf_rejected():
+    data = np.ones((1, 64, 96), np.float32)
+    data[0, 0, 0] = np.inf
+    with pytest.raises(ValueError):
+        ebcc_tpu.compress(data, small_cfg())
+
+
+def test_1d_rejected():
+    with pytest.raises(ValueError):
+        ebcc_tpu.compress(np.ones(100, np.float32), small_cfg())
+
+
+def test_quantile_mode_rejected():
+    with pytest.raises(ValueError, match="QUANTILE"):
+        EBCCConfig(mode=ResidualMode.QUANTILE)
+
+
+def test_container_fuzz_truncations():
+    """Truncated/corrupted blobs raise, never crash or mis-decode."""
+    data = np.full((1, 64, 96), 7.25, np.float32)  # const: tiny blob
+    blob = ebcc_tpu.compress(data, small_cfg())
+    for cut in (0, 1, 4, 7, 9, len(blob) - 1):
+        with pytest.raises((ValueError, Exception)):
+            out = ebcc_tpu.decompress(blob[:cut], small_cfg())
+            # a shorter parse that *succeeds* must still be correct
+            np.testing.assert_array_equal(out, data)
+
+
+def test_blob_roundtrip_many_const_frames():
+    data = np.stack([np.full((32, 64), float(i), np.float32)
+                     for i in range(5)])
+    cfg = small_cfg(max_batch=2)
+    blob = ebcc_tpu.compress(data, cfg)
+    rec = ebcc_tpu.decompress(blob, cfg)
+    np.testing.assert_array_equal(rec, data)
+    assert len(blob) < 600  # const shortcut per frame
+
+
+def test_negative_values_roundtrip():
+    rng = np.random.default_rng(0)
+    data = rng.normal(-500.0, 100.0, (1, 64, 96)).astype(np.float32)
+    cfg = small_cfg(error=1.0)
+    rec = ebcc_tpu.decompress(ebcc_tpu.compress(data, cfg), cfg)
+    assert float(np.abs(rec - data).max()) <= 1.0
+
+
+def test_mixed_geometry_blob_rejected():
+    d = np.ones((1, 64, 96), np.float32) * np.linspace(
+        0, 10, 64 * 96).reshape(64, 96).astype(np.float32)
+    b1 = ebcc_tpu.compress(d, small_cfg(nchunks=4))
+    b2 = ebcc_tpu.compress(d, small_cfg(nchunks=8))
+    f1 = container.unpack_blob(b1)
+    f2 = container.unpack_blob(b2)
+    mixed = container.pack_blob([f1[0], f2[0]])
+    with pytest.raises(ValueError, match="mixed"):
+        ebcc_tpu.decompress(mixed, small_cfg())
