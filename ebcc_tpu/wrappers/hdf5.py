@@ -101,3 +101,69 @@ def read_dataset(dset) -> np.ndarray:
 
 def is_ebcc_dataset(dset) -> bool:
     return _ATTR in getattr(dset, "attrs", {})
+
+
+# ---------------------------------------------------------------------------
+# True HDF5-filter integration (reference parity: filters 308/310)
+# ---------------------------------------------------------------------------
+
+FILTER_ID = 33076  # EBCC-TPU (user-range filter id)
+
+_PLUGIN_DIR = None
+
+
+def _plugin_dir() -> str:
+    import os
+    global _PLUGIN_DIR
+    if _PLUGIN_DIR is None:
+        here = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        _PLUGIN_DIR = os.path.join(here, "native")
+    return _PLUGIN_DIR
+
+
+def register_plugin_path(path: str | None = None):
+    """Make libh5z_ebcc_tpu.so discoverable by libhdf5 (reader side).
+
+    The reference sets HDF5_PLUGIN_PATH (filter_wrapper.py:3); h5py also
+    accepts runtime registration via h5py.h5pl.
+    """
+    import h5py
+    p = (path or _plugin_dir()).encode()
+    try:
+        existing = [h5py.h5pl.get(i) for i in range(h5py.h5pl.size())]
+    except Exception:
+        existing = []
+    if p not in existing:
+        h5py.h5pl.prepend(p)
+
+
+def write_filtered_dataset(group, name: str, data,
+                           config: EBCCConfig | None = None,
+                           error_bound=None):
+    """Create a REAL filtered float dataset (one frame per chunk).
+
+    Readers that load the plugin (``register_plugin_path()`` or
+    HDF5_PLUGIN_PATH) see a plain float32 dataset — the reference's
+    integration model (h5z_j2k.c).  Compression runs through the normal
+    TPU path here; the pre-compressed frame containers are stored with
+    H5Dwrite_chunk.
+    """
+    import h5py
+    if config is None:
+        config = EBCCFilterParams(height=data.shape[-2],
+                                  width=data.shape[-1]).to_config()
+    data = np.asarray(data, np.float32)
+    h, w = data.shape[-2], data.shape[-1]
+    frames = data.reshape(-1, h, w)
+    blob = api.compress(frames, config, error_bound=error_bound)
+    from ..codec import container as _c
+    frame_bytes = _c.unpack_blob(blob)
+    dset = group.create_dataset(
+        name, shape=frames.shape, dtype=np.float32, chunks=(1, h, w),
+        compression=FILTER_ID, allow_unknown_filter=True)
+    for i, fb in enumerate(frame_bytes):
+        dset.id.write_direct_chunk((i, 0, 0), fb, filter_mask=0)
+    dset.attrs[_ATTR] = json.dumps({"version": 2, "filter": FILTER_ID,
+                                    "shape": list(data.shape)})
+    return dset
