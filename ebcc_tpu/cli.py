@@ -105,6 +105,26 @@ def cmd_sweep(args):
             wr.writerows(rows)
 
 
+def cmd_filter_string(args):
+    """Emit h5py kwargs + plugin info for the HDF5 filter integration
+    (parity with the reference's EBCC_Filter CLI, filter_wrapper.py:84-140,
+    which emits CDO --filter strings)."""
+    from .wrappers import hdf5 as whdf5
+    print(json.dumps({
+        "filter_id": whdf5.FILTER_ID,
+        "plugin_dir": whdf5._plugin_dir(),
+        "h5py_create_dataset_kwargs": {
+            "dtype": "float32",
+            "chunks": [1, args.height, args.width],
+            "compression": whdf5.FILTER_ID,
+            "allow_unknown_filter": True,
+        },
+        "write": "ebcc_tpu.wrappers.hdf5.write_filtered_dataset(...)",
+        "read": "set HDF5_PLUGIN_PATH to plugin_dir (or call "
+                "register_plugin_path()) and read normally",
+    }, indent=1))
+
+
 def cmd_info(args):
     blob = open(args.input, "rb").read()
     frames = container.unpack_blob(blob)
@@ -146,6 +166,12 @@ def main(argv=None):
     sp = sub.add_parser("info")
     sp.add_argument("input")
     sp.set_defaults(fn=cmd_info)
+
+    sp = sub.add_parser("filter-string",
+                        help="HDF5 filter integration parameters")
+    sp.add_argument("--height", type=int, default=721)
+    sp.add_argument("--width", type=int, default=1440)
+    sp.set_defaults(fn=cmd_filter_string)
 
     args = p.parse_args(argv)
     return args.fn(args)
