@@ -32,7 +32,6 @@ try:
     import zstandard as _zstd
 except ImportError:  # pragma: no cover - zstandard is expected in the image
     _zstd = None
-import zlib as _zlib
 
 from .runtime import native as _native
 
@@ -48,16 +47,24 @@ _DEFERRED_FIELDS = _F32_COEF_FIELDS + (
 
 
 def _zstd_compress(data: bytes, level: int) -> bytes:
+    """The container format mandates zstd (docs/FORMAT.md); a silent
+    substitute codec would produce blobs unreadable elsewhere."""
     if _zstd is not None:
         return _zstd.ZstdCompressor(level=level).compress(data)
-    return _zlib.compress(data, 9)
+    if _native.HAVE_NATIVE:
+        return _native.zstd_compress_batch([data], level)[0]
+    raise RuntimeError("zstd unavailable (need the zstandard package or "
+                       "the native runtime: make -C native)")
 
 
 def _zstd_decompress(data: bytes, max_size: int) -> bytes:
     if _zstd is not None:
         return _zstd.ZstdDecompressor().decompress(data,
                                                    max_output_size=max_size)
-    return _zlib.decompress(data)
+    if _native.HAVE_NATIVE:
+        return _native.zstd_decompress_batch([data], [max_size])[0]
+    raise RuntimeError("zstd unavailable (need the zstandard package or "
+                       "the native runtime: make -C native)")
 
 
 @functools.lru_cache(maxsize=16)
@@ -85,26 +92,48 @@ def _batches(n: int, size: int):
 
 
 def compress(data, config: EBCCConfig | None = None, *,
-             error_bound=None, codec=None) -> bytes:
+             error_bound=None, codec=None, qbase=None) -> bytes:
     """Compress ``data`` ([..., H, W] float32) into a container blob.
 
     ``error_bound``: per-point bound array (same shape as data) for
     POINTWISE_MAX_ERROR mode; ignored otherwise.
     ``codec``: optional pre-built (possibly mesh-sharded) FrameCodec.
+    ``qbase``: base-layer feasibility quantile override (defaults to the
+    EBCC_INIT_BASE_ERROR_QUANTILE env var).
     """
+    import dataclasses
+
     config = config or EBCCConfig()
     data = np.asarray(data, np.float32)
     if data.ndim < 2:
         raise ValueError("data must be at least 2-D")
     shape = data.shape
     h, w = shape[-2], shape[-1]
+    if min(h, w) < 4:
+        raise ValueError("frames must be at least 4x4")
     frames = data.reshape(-1, h, w)
+    if frames.shape[0] == 0:
+        raise ValueError("no frames to compress")
     if not np.isfinite(frames).all():
         raise ValueError("NaN or Inf in data (j2k_codec.h:451-458)")
+    # small frames cannot support deep transforms: L levels need
+    # 2**(L+1) < min(h, w) (else the deepest lifting has < 4 samples and
+    # the mirror pad would exceed the frame).  Clamp — the effective
+    # geometry is stored in the container, so decode follows automatically.
+    max_lv = max(0, (min(h, w) - 1).bit_length() - 2)
+    if config.base_levels > max_lv or config.residual_levels > max_lv:
+        if codec is not None:
+            raise ValueError(
+                f"frames of {h}x{w} support at most {max_lv} DWT levels; "
+                "rebuild the provided codec with fewer levels")
+        config = dataclasses.replace(
+            config, base_levels=min(config.base_levels, max_lv),
+            residual_levels=min(config.residual_levels, max_lv))
     n = frames.shape[0]
     codec = codec or _codec_for(h, w, config)
     mode = config.mode
-    qbase = base_error_quantile()
+    if qbase is None:
+        qbase = base_error_quantile()
     pointwise = mode == ResidualMode.POINTWISE_MAX_ERROR
     if pointwise:
         if error_bound is None:
@@ -260,6 +289,13 @@ def _pack_streams(res, codec, rd):
         def resid(i, bits):
             return resid_arena[i, : (int(bits) + 7) // 8].tobytes()
     else:
+        # guard the bound contract: the word buffers must hold every bit the
+        # container will claim (silent tail truncation = silent corruption)
+        if (trunc_b.max(initial=0) > codec.base.cap_words * 32 or
+                trunc_r.max(initial=0) > codec.resid.cap_words * 32):
+            raise RuntimeError(
+                "stream exceeds fallback packer capacity; raise "
+                "base_cap_bits_per_px/residual_cap_bits_per_px")
         bw, _, _ = bp.encode_batch(rd["base_coef"],
                                    trunc_b.astype(np.int32),
                                    base_spec, codec.base.cap_words)
@@ -446,6 +482,11 @@ def decompress(blob: bytes, config: EBCCConfig | None = None) -> np.ndarray:
                 dev = codec.recon(coef_b, mn, mx, dcb, hasr,
                                   coef_r, rmn, rmx, dcr)
         else:
+            if (int(bb.max(initial=0)) > codec.base.cap_words * 32 or
+                    int(rb.max(initial=0)) > codec.resid.cap_words * 32):
+                raise RuntimeError(
+                    "stream exceeds fallback unpacker capacity; raise "
+                    "base_cap_bits_per_px/residual_cap_bits_per_px")
             bw = np.stack([_bytes_to_words(s, codec.base.cap_words)
                            for s in base_streams])
             rw = np.stack([_bytes_to_words(s, codec.resid.cap_words)

@@ -22,15 +22,8 @@ import numpy as np
 
 from . import api
 from .codec import container
-from .codec.config import EBCCConfig, ResidualMode
-
-_MODES = {
-    "none": ResidualMode.NONE,
-    "sparsification_factor": ResidualMode.SPARSIFICATION_FACTOR,
-    "max_error": ResidualMode.MAX_ERROR,
-    "relative_error": ResidualMode.RELATIVE_ERROR,
-    "pointwise_max_error": ResidualMode.POINTWISE_MAX_ERROR,
-}
+from .codec.config import MODE_NAMES as _MODES
+from .codec.config import EBCCConfig
 
 
 def _load(path: str) -> np.ndarray:

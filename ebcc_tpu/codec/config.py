@@ -23,6 +23,16 @@ class ResidualMode(enum.IntEnum):
     POINTWISE_MAX_ERROR = 5
 
 
+# canonical mode-name vocabulary (shared by the CLI and the HDF5 wrapper)
+MODE_NAMES = {
+    "none": ResidualMode.NONE,
+    "sparsification_factor": ResidualMode.SPARSIFICATION_FACTOR,
+    "max_error": ResidualMode.MAX_ERROR,
+    "relative_error": ResidualMode.RELATIVE_ERROR,
+    "pointwise_max_error": ResidualMode.POINTWISE_MAX_ERROR,
+}
+
+
 @dataclasses.dataclass(frozen=True)
 class EBCCConfig:
     """User-facing codec configuration.
@@ -45,8 +55,13 @@ class EBCCConfig:
     # fine-scan cost is negligible on device)
     base_nplanes: int = 22
     residual_nplanes: int = 14
-    base_cap_bits_per_px: int = 8
-    residual_cap_bits_per_px: int = 6
+    # capacity of the pure-JAX packer/unpacker word buffers; must cover the
+    # WORST-CASE full stream (~ nplanes + sign + group overhead bits/px),
+    # otherwise near-lossless truncations would silently drop tail bits on
+    # the fallback path (the native coder sizes its arena from the actual
+    # truncation and needs no cap)
+    base_cap_bits_per_px: int = 36
+    residual_cap_bits_per_px: int = 24
     zstd_level: int = 19            # residual entropy stage (ref uses 22)
     max_batch: int = 8              # frames per device dispatch
     prefetch_batches: int = 2       # device batches in flight (pipelining)

@@ -25,26 +25,15 @@ from .. import api
 from ..codec.config import EBCCConfig, ResidualMode
 from ..utils import logging as elog
 
-try:
-    import zstandard as _zstd
-except ImportError:  # pragma: no cover
-    _zstd = None
-import zlib as _zlib
-
 _MAGIC = b"EBTD"
 
 
 def _pack(data: bytes, level: int = 9) -> bytes:
-    if _zstd is not None:
-        return _zstd.ZstdCompressor(level=level).compress(data)
-    return _zlib.compress(data, level)
+    return api._zstd_compress(data, level)
 
 
 def _unpack(data: bytes, max_size: int) -> bytes:
-    if _zstd is not None:
-        return _zstd.ZstdDecompressor().decompress(data,
-                                                   max_output_size=max_size)
-    return _zlib.decompress(data)
+    return api._zstd_decompress(data, max_size)
 
 
 class DirectCompressor:

@@ -50,21 +50,14 @@ class RateOptimizedCompressor:
         data = np.asarray(data, np.float32)
         best_blob, best_q = None, None
         sizes = {}
-        import os
-        saved = os.environ.get("EBCC_INIT_BASE_ERROR_QUANTILE")
-        try:
-            for q in self.candidates:
-                os.environ["EBCC_INIT_BASE_ERROR_QUANTILE"] = repr(q)
-                blob = api.compress(data, self.config,
-                                    error_bound=error_bound)
-                sizes[q] = len(blob)
-                if best_blob is None or len(blob) < len(best_blob):
-                    best_blob, best_q = blob, q
-        finally:
-            if saved is None:
-                os.environ.pop("EBCC_INIT_BASE_ERROR_QUANTILE", None)
-            else:
-                os.environ["EBCC_INIT_BASE_ERROR_QUANTILE"] = saved
+        for q in self.candidates:
+            # qbase is a traced scalar: no recompilation and no process-
+            # global state between candidates
+            blob = api.compress(data, self.config, error_bound=error_bound,
+                                qbase=q)
+            sizes[q] = len(blob)
+            if best_blob is None or len(blob) < len(best_blob):
+                best_blob, best_q = blob, q
         info = {
             "best_quantile": best_q,
             "candidate_sizes": sizes,

@@ -22,17 +22,10 @@ import json
 import numpy as np
 
 from .. import api
+from ..codec.config import MODE_NAMES as _MODE_NAMES
 from ..codec.config import EBCCConfig, ResidualMode
 
 _ATTR = "ebcc_tpu"
-
-_MODE_NAMES = {
-    "none": ResidualMode.NONE,
-    "sparsification_factor": ResidualMode.SPARSIFICATION_FACTOR,
-    "max_error": ResidualMode.MAX_ERROR,
-    "relative_error": ResidualMode.RELATIVE_ERROR,
-    "pointwise_max_error": ResidualMode.POINTWISE_MAX_ERROR,
-}
 
 
 @dataclasses.dataclass
