@@ -10,6 +10,8 @@ from .delta import DeltaCompressor
 from .direct import DirectCompressor
 from .predictive import PredictiveCompressor, persistence_forecast
 from .rate_opt import RateOptimizedCompressor
+from .video import VideoArrayCompressor
+from .video import available as video_available
 
 __all__ = [
     "DirectCompressor",
@@ -17,4 +19,6 @@ __all__ = [
     "PredictiveCompressor",
     "persistence_forecast",
     "RateOptimizedCompressor",
+    "VideoArrayCompressor",
+    "video_available",
 ]
