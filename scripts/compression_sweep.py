@@ -84,16 +84,41 @@ def main():
                    choices=["max_error", "relative_error"])
     p.add_argument("--base-cr", type=float, default=100.0)
     p.add_argument("--out", default="sweep.csv")
+    p.add_argument("--resume", action="store_true",
+                   help="skip (method, error_target) rows already in --out")
     args = p.parse_args()
 
     data = np.load(args.input).astype(np.float32)
-    rows = lossless_baselines(data)
-    rows += ebcc_sweep(data, args.errors, args.mode, args.base_cr)
-    with open(args.out, "w", newline="") as f:
-        wr = csv.DictWriter(f, fieldnames=list(rows[0]))
+
+    # incremental, resumable output (the reference's sweep drivers write
+    # per-finished-task; idempotent restarts via skip-if-done)
+    done = set()
+    if args.resume and os.path.exists(args.out):
+        with open(args.out, newline="") as f:
+            for row in csv.DictReader(f):
+                done.add((row["method"], float(row["error_target"])))
+    fields = ["method", "error_target", "cr", "max_error", "rmse",
+              "encode_s", "decode_s"]
+    mode_new = not (args.resume and os.path.exists(args.out))
+    out_f = open(args.out, "w" if mode_new else "a", newline="")
+    wr = csv.DictWriter(out_f, fieldnames=fields, extrasaction="ignore")
+    if mode_new:
         wr.writeheader()
-        wr.writerows(rows)
-    print(f"wrote {args.out} ({len(rows)} rows)")
+
+    def emit(row):
+        wr.writerow(row)
+        out_f.flush()
+
+    for row in lossless_baselines(data):
+        if (row["method"], row["error_target"]) not in done:
+            emit(row)
+    for err in args.errors:
+        if (f"ebcc-{args.mode}", err) in done:
+            continue
+        for row in ebcc_sweep(data, [err], args.mode, args.base_cr):
+            emit(row)
+    out_f.close()
+    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
