@@ -30,7 +30,9 @@ def main():
     import ebcc_tpu
     from ebcc_tpu import EBCCConfig, ResidualMode
 
-    frames_per_batch = int(os.environ.get("EBCC_BENCH_BATCH", "8"))
+    # batch 16 amortises the tunnelled host link's per-dispatch latency
+    # (see BENCHMARKS.md); override with EBCC_BENCH_BATCH
+    frames_per_batch = int(os.environ.get("EBCC_BENCH_BATCH", "16"))
     path = "/root/reference/data/test_data.npy"
     try:
         base = np.load(path).astype(np.float32)
