@@ -39,11 +39,13 @@ from .runtime import native as _native
 MIN_RESID_BYTES = 16
 
 # EncodeResult fields whose device->host fetch is deferred until the small
-# flags decide which representation (u8 / u16 / exact f32) is needed
+# flags decide which representation (u8 / u16 / exact f32) is needed.
+# The TYPICAL forms (sparse base, u8 residual) are NOT deferred: they are
+# async-prefetched at dispatch so the drain almost never waits on the link;
+# the rarely-needed denser forms transfer only when the flags demand them.
 _F32_COEF_FIELDS = ("base_coef", "resid_coef")
 _DEFERRED_FIELDS = _F32_COEF_FIELDS + (
-    "base_pack16", "resid_pack16", "base_pack8", "resid_pack8",
-    "base_sp_delta", "base_sp_val")
+    "base_pack16", "resid_pack16", "base_pack8")
 
 
 def _zstd_compress(data: bytes, level: int) -> bytes:
