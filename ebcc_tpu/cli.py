@@ -51,8 +51,15 @@ def _config(args) -> EBCCConfig:
 def cmd_compress(args):
     data = _load(args.input)
     cfg = _config(args)
+    eb = None
+    if args.mode == "pointwise_max_error":
+        if not args.error_bound_file:
+            raise SystemExit(
+                "pointwise_max_error requires --error-bound-file "
+                "(per-point bound .npy, same shape as the data)")
+        eb = np.load(args.error_bound_file).astype(np.float32)
     t0 = time.perf_counter()
-    blob = api.compress(data, cfg)
+    blob = api.compress(data, cfg, error_bound=eb)
     dt = time.perf_counter() - t0
     with open(args.output, "wb") as f:
         f.write(blob)
@@ -137,6 +144,8 @@ def main(argv=None):
                         default="max_error")
         sp.add_argument("--error", type=float, default=1e-2)
         sp.add_argument("--base-cr", type=float, default=100.0)
+        sp.add_argument("--error-bound-file", default=None,
+                        help=".npy per-point bounds (pointwise mode)")
 
     sp = sub.add_parser("compress")
     sp.add_argument("input")
