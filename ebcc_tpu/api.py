@@ -146,7 +146,10 @@ def compress(data, config: EBCCConfig | None = None, *,
         eb = eb * config.pointwise_max_error_ratio * (1 - 1e-8)
 
     out_frames = []
-    bsz = config.max_batch
+    # a call smaller than max_batch compiles/pads at its own size instead
+    # of padding up by repetition (single-slice callers like the delta
+    # chains would otherwise pay max_batch x the compute)
+    bsz = min(config.max_batch, n)
     pending = []  # (n_valid, EncodeResult) — device results in flight
 
     def drain(entry):
@@ -413,7 +416,7 @@ def decompress(blob: bytes, config: EBCCConfig | None = None) -> np.ndarray:
                                       g0.resid_nplanes):
             raise ValueError("mixed coder geometries in one blob")
     codec = _codec_for(h, w, config)
-    bsz = config.max_batch
+    bsz = min(config.max_batch, len(todo))
     pending = []  # (idxs, device_result)
 
     def drain(entry):

@@ -79,6 +79,9 @@ def cmd_decompress(args):
 def cmd_sweep(args):
     """Error-bound sweep: CR + achieved error per bound
     (scripts/hdf5_compression_sweep.py:118-170 equivalent)."""
+    if args.mode == "pointwise_max_error":
+        raise SystemExit("sweep sweeps scalar bounds; pointwise mode needs "
+                         "per-point bounds — use scripts/pointwise_sweep.py")
     data = _load(args.input)
     rows = []
     for err in args.errors:

@@ -48,12 +48,9 @@ class DirectCompressor:
     def __init__(self, base_cr: float = 100.0, ratio: float = 1.0,
                  config: EBCCConfig | None = None):
         self.ratio = float(ratio)
-        # max_batch=1: the delta/predictive chains feed single slices, and
-        # api.compress pads partial batches by repetition — a batch size of
-        # 8 would compute every slice 8 times over
         self.config = config or EBCCConfig(
             mode=ResidualMode.POINTWISE_MAX_ERROR, base_cr=base_cr,
-            pointwise_max_error_ratio=ratio, max_batch=1)
+            pointwise_max_error_ratio=ratio)
 
     # -- patch encoding (direct_wrapper.py:85-100) --------------------------
 

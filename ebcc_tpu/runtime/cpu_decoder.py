@@ -41,6 +41,11 @@ def decompress(blob: bytes) -> np.ndarray:
         if has_resid:
             resid_stream = _native.zstd_decompress_batch(
                 [zblob], [(hdr.resid_nbits + 7) // 8])[0]
+        # header-declared bit counts must be backed by actual bytes — the C
+        # decoder trusts them (out-of-bounds read otherwise)
+        if len(base_stream) * 8 < hdr.base_nbits or \
+                (has_resid and len(resid_stream) * 8 < hdr.resid_nbits):
+            raise ValueError("truncated EBCC-TPU frame stream")
         frame = np.empty((hdr.h, hdr.w), np.float32)
         rc = lib.ebcc_cpu_decode_frame(
             ctypes.cast(ctypes.c_char_p(base_stream),

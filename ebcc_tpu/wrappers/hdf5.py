@@ -102,17 +102,9 @@ def is_ebcc_dataset(dset) -> bool:
 
 FILTER_ID = 33076  # EBCC-TPU (user-range filter id)
 
-_PLUGIN_DIR = None
-
-
 def _plugin_dir() -> str:
-    import os
-    global _PLUGIN_DIR
-    if _PLUGIN_DIR is None:
-        here = os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))))
-        _PLUGIN_DIR = os.path.join(here, "native")
-    return _PLUGIN_DIR
+    from ..runtime.native import _NATIVE_DIR
+    return _NATIVE_DIR
 
 
 def register_plugin_path(path: str | None = None):
@@ -141,6 +133,11 @@ def write_filtered_dataset(group, name: str, data,
     integration model (h5z_j2k.c).  Compression runs through the normal
     TPU path here; the pre-compressed frame containers are stored with
     H5Dwrite_chunk.
+
+    Writing through plain ``dset[...] = data`` instead stores chunks
+    UNCOMPRESSED (the filter declines the forward pass and HDF5 skips the
+    optional filter, marking the chunk's filter mask): reads stay correct,
+    but only this function produces compressed chunks.
     """
     import h5py
     if config is None:

@@ -80,6 +80,15 @@ size_t decode_chunk(size_t nbytes, size_t* buf_size, void** buf) {
   int base_levels = p[33], resid_levels = p[34], nchunks = p[35];
   int base_nplanes = p[36], resid_nplanes = p[37];
 
+  // the header is untrusted file content: bound every field that sizes an
+  // allocation, a shift, or a read
+  if (h == 0 || w == 0 || h > 65536 || w > 65536 ||
+      (uint64_t)h * w > (1ull << 28) || base_levels > 12 ||
+      resid_levels > 12 || nchunks < 1 || nchunks > 64 ||
+      base_nplanes < 1 || base_nplanes > 30 || resid_nplanes > 30 ||
+      max_step_b > 30)
+    return 0;
+
   size_t out_bytes = (size_t)h * w * sizeof(float);
   float* out = (float*)malloc(out_bytes);
   if (!out) return 0;
@@ -107,11 +116,11 @@ size_t decode_chunk(size_t nbytes, size_t* buf_size, void** buf) {
     {
       uint64_t zlen = rd<uint64_t>(p + off + 17);
       off += RES_SIZE;
-      if (nbytes < off + zlen) goto fail;
+      if (zlen > nbytes - off) goto fail;  // off <= nbytes; no overflow
       resid_raw.resize((resid_nbits + 7) / 8);
       size_t r = ZSTD_decompress(resid_raw.data(), resid_raw.size(),
                                  p + off, zlen);
-      if (ZSTD_isError(r)) goto fail;
+      if (ZSTD_isError(r) || r * 8 < resid_nbits) goto fail;
       off += zlen;
     }
   }
@@ -123,8 +132,10 @@ size_t decode_chunk(size_t nbytes, size_t* buf_size, void** buf) {
       base_raw.resize((base_nbits + 7) / 8);
       size_t r = ZSTD_decompress(base_raw.data(), base_raw.size(), base_ptr,
                                  base_len);
-      if (ZSTD_isError(r)) goto fail;
+      if (ZSTD_isError(r) || r * 8 < base_nbits) goto fail;
       base_ptr = base_raw.data();
+    } else if (base_len * 8 < base_nbits) {
+      goto fail;  // declared bits not backed by bytes
     }
     int rc = ebcc_cpu_decode_frame(
         base_ptr, base_nbits, max_step_b, mn, mx, dc_b, (int)h, (int)w,
@@ -146,13 +157,20 @@ size_t filter_fn(unsigned int flags, size_t /*cd_nelmts*/,
                  const unsigned int* /*cd_values*/, size_t nbytes,
                  size_t* buf_size, void** buf) {
   if (flags & H5Z_FLAG_REVERSE) return decode_chunk(nbytes, buf_size, buf);
-  return 0;  // write path: chunks are stored pre-compressed (H5Dwrite_chunk)
+  // Write path: chunks are stored pre-compressed via H5Dwrite_chunk
+  // (which bypasses the pipeline).  A normal H5Dwrite reaching this point
+  // means the caller tried to let HDF5 encode — fail loudly rather than
+  // store something the decoder can't read.
+  return 0;
 }
 
 const H5Z_class2_t kClass = {
     1,            // H5Z_CLASS_T_VERS
     kFilterId,
-    0,            // encoder_present
+    // encoder "present" so dataset CREATION succeeds with the plugin
+    // loaded; the forward pass itself errors (see filter_fn) because
+    // writes go through H5Dwrite_chunk
+    1,
     1,            // decoder_present
     "EBCC-TPU error-bounded climate compressor",
     nullptr,

@@ -93,13 +93,21 @@ def main():
     # incremental, resumable output (the reference's sweep drivers write
     # per-finished-task; idempotent restarts via skip-if-done)
     done = set()
+    resumable = False
     if args.resume and os.path.exists(args.out):
         with open(args.out, newline="") as f:
-            for row in csv.DictReader(f):
-                done.add((row["method"], float(row["error_target"])))
+            rd = csv.DictReader(f)
+            if rd.fieldnames and "method" in rd.fieldnames:
+                resumable = True
+                for row in rd:
+                    try:
+                        done.add((row["method"],
+                                  float(row["error_target"])))
+                    except (TypeError, ValueError):
+                        continue  # partially flushed last line
     fields = ["method", "error_target", "cr", "max_error", "rmse",
               "encode_s", "decode_s"]
-    mode_new = not (args.resume and os.path.exists(args.out))
+    mode_new = not resumable
     out_f = open(args.out, "w" if mode_new else "a", newline="")
     wr = csv.DictWriter(out_f, fieldnames=fields, extrasaction="ignore")
     if mode_new:
