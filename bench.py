@@ -52,11 +52,13 @@ def main():
     blob = ebcc_tpu.compress(data[:frames_per_batch], cfg)
     rec = ebcc_tpu.decompress(blob, cfg)
 
-    # best of 3 repetitions: the tunnelled host<->device link of this dev
-    # setup has high run-to-run variance; steady-state throughput is the
-    # honest figure for the pipeline itself
+    # best of up to 3 repetitions: the tunnelled host<->device link of this
+    # dev setup has high run-to-run variance; steady-state throughput is
+    # the honest figure for the pipeline itself.  Time-boxed so congested
+    # links can't blow the driver's timeout (warmup compile already done).
     best_enc = best_dec = float("inf")
-    for _ in range(3):
+    reps_t0 = time.perf_counter()
+    for rep in range(3):
         t0 = time.perf_counter()
         blob = ebcc_tpu.compress(data, cfg)
         t1 = time.perf_counter()
@@ -64,6 +66,8 @@ def main():
         t2 = time.perf_counter()
         best_enc = min(best_enc, t1 - t0)
         best_dec = min(best_dec, t2 - t1)
+        if time.perf_counter() - reps_t0 > 150 and rep >= 0:
+            break
 
     maxerr = float(np.max(np.abs(rec - data)))
     assert maxerr <= 0.5, f"bound violated: {maxerr}"
