@@ -58,6 +58,27 @@ def test_single_shard_degenerates_to_local():
     assert np.array_equal(out, ref)
 
 
+def test_composes_with_data_parallel_mesh(data):
+    """Halo-exchange DWT on a 2-D (data x space) mesh: batch sharded over
+    ``data``, rows over ``space`` — the composition the multi-chip codec
+    uses (frames across chips, spatial tiling within)."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = Mesh(np.asarray(devs[:8]).reshape(2, 4),
+                axis_names=("data", "space"))
+    spec = P("data", "space", None)
+
+    fwd = jax.jit(
+        jax.shard_map(
+            lambda v: dwt_sharded.dwt2d_multi_sharded(v, LEVELS, "space"),
+            mesh=mesh, in_specs=spec, out_specs=spec))
+    x = jax.device_put(data, NamedSharding(mesh, spec))
+    out = dwt_sharded.to_canonical(np.asarray(fwd(x)), 4, LEVELS)
+    ref = np.asarray(dwt.dwt2d_multi(jnp.asarray(data), LEVELS))
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-4)
+
+
 def test_to_canonical_roundtrips_shapes():
     g = np.arange(4 * H * W, dtype=np.float32).reshape(4, H, W)[0:1]
     c = dwt_sharded.to_canonical(g, 4, LEVELS)
