@@ -66,7 +66,7 @@ def main():
         t2 = time.perf_counter()
         best_enc = min(best_enc, t1 - t0)
         best_dec = min(best_dec, t2 - t1)
-        if time.perf_counter() - reps_t0 > 150 and rep >= 0:
+        if time.perf_counter() - reps_t0 > 150:
             break
 
     maxerr = float(np.max(np.abs(rec - data)))

@@ -446,6 +446,11 @@ def decompress(blob: bytes, config: EBCCConfig | None = None) -> np.ndarray:
             if hdr.flags & container.FLAG_BASE_Z:
                 base_stream = _zstd_decompress(
                     base_stream, (hdr.base_nbits + 7) // 8)
+            # header-declared bits must be backed by bytes; a truncated
+            # frame must not silently decode to a plausible approximation
+            # (matches runtime/cpu_decoder.py)
+            if len(base_stream) * 8 < hdr.base_nbits:
+                raise ValueError("truncated EBCC-TPU frame stream")
             base_streams[k] = base_stream
             bb[k] = hdr.base_nbits
             msb_[k] = hdr.max_step_b
@@ -465,6 +470,8 @@ def decompress(blob: bytes, config: EBCCConfig | None = None) -> np.ndarray:
                 unpacked = [_zstd_decompress(z, m)
                             for z, m in zip(zlist, zmax)]
             for k, rbytes in zip(zpos, unpacked):
+                if len(rbytes) * 8 < int(rb[k]):
+                    raise ValueError("truncated EBCC-TPU frame stream")
                 resid_streams[k] = rbytes
         if _native.HAVE_NATIVE:
             bspec, rspec = codec.base.spec, codec.resid.spec

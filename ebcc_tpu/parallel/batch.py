@@ -31,6 +31,10 @@ class ShardedCodec:
         self._encode_eb = jax.jit(
             self.codec._encode_error_bounded,
             in_shardings=(sh, rep, None))
+        # pointwise targets are frame-sharded too; build the jit once (a
+        # fresh jax.jit per call would retrace/recompile on the hot path)
+        self._encode_eb_pw = jax.jit(
+            self.codec._encode_error_bounded, in_shardings=(sh, sh, None))
         self._encode_rate = jax.jit(
             self.codec._encode_rate_targeted,
             in_shardings=(sh, rep, rep))
@@ -38,11 +42,8 @@ class ShardedCodec:
 
     def encode_error_bounded(self, data, target, qbase):
         target = jnp.asarray(target)
-        if target.ndim == 3:  # pointwise targets are frame-sharded too
-            enc = jax.jit(self.codec._encode_error_bounded,
-                          in_shardings=(frame_sharding(self.mesh),
-                                        frame_sharding(self.mesh), None))
-            return enc(data, target, jnp.float32(qbase))
+        if target.ndim == 3:
+            return self._encode_eb_pw(data, target, jnp.float32(qbase))
         return self._encode_eb(data, target, jnp.float32(qbase))
 
     def encode_rate_targeted(self, data, base_budget, resid_budget):

@@ -21,6 +21,20 @@ from ..codec import container
 from . import native as _native
 
 
+def _validate_header(hdr) -> None:
+    """Bound untrusted header fields before they size native allocations,
+    shifts, or reads (same limits as native/h5z_ebcc_tpu.cc)."""
+    if (hdr.h == 0 or hdr.w == 0 or hdr.h > 65536 or hdr.w > 65536 or
+            hdr.h * hdr.w > (1 << 28) or
+            hdr.base_levels > 8 or hdr.resid_levels > 8 or
+            not 1 <= hdr.nchunks <= 64 or
+            not 1 <= hdr.base_nplanes <= 30 or hdr.resid_nplanes > 30 or
+            hdr.max_step_b > 30 or hdr.max_step_r > 30 or
+            hdr.base_nbits > 64 * hdr.h * hdr.w or
+            hdr.resid_nbits > 64 * hdr.h * hdr.w):
+        raise ValueError("corrupt EBCC-TPU frame header")
+
+
 def decompress(blob: bytes) -> np.ndarray:
     """Decode a container blob to [N, H, W] float32 on the CPU."""
     lib = _native._load()
@@ -31,8 +45,11 @@ def decompress(blob: bytes) -> np.ndarray:
     for fb in frames:
         hdr, zblob, base_stream, tot = container.unpack_frame(fb)
         if hdr.flags & container.FLAG_CONST:
+            if hdr.h == 0 or hdr.w == 0 or hdr.h * hdr.w > (1 << 28):
+                raise ValueError("corrupt EBCC-TPU frame header")
             out.append(np.full((hdr.h, hdr.w), hdr.mn, np.float32))
             continue
+        _validate_header(hdr)
         if hdr.flags & container.FLAG_BASE_Z:
             base_stream = _native.zstd_decompress_batch(
                 [base_stream], [(hdr.base_nbits + 7) // 8])[0]

@@ -140,7 +140,9 @@ def words_to_bytes_batch(words: np.ndarray, nbits: np.ndarray) -> list[bytes]:
         raise RuntimeError("native runtime unavailable")
     words = np.ascontiguousarray(words, np.uint32)
     n, nwords = words.shape
-    nbits = np.ascontiguousarray(nbits, np.int32)
+    # clamp to the buffer: the C side computes byte counts from nbits and
+    # would read/write past the per-frame slots otherwise
+    nbits = np.minimum(np.ascontiguousarray(nbits, np.int32), nwords * 32)
     stride = nwords * 4
     dst = np.zeros(n * stride, np.uint8)
     lib.ebcc_words_to_bytes_batch(

@@ -67,7 +67,19 @@ constexpr unsigned FLAG_CONST = 1, FLAG_RESID = 2, FLAG_BASE_Z = 8;
 constexpr size_t HDR_SIZE = 4 + 1 + 1 + 2 + 4 + 4 + 4 + 4 + 4 + 4 + 1 + 5;
 constexpr size_t RES_SIZE = 4 + 4 + 4 + 1 + 4 + 8;
 
-size_t decode_chunk(size_t nbytes, size_t* buf_size, void** buf) {
+// RAII holder for the malloc'd output buffer (HDF5 frees it with free())
+struct OutBuf {
+  float* p = nullptr;
+  explicit OutBuf(size_t n) : p((float*)malloc(n)) {}
+  ~OutBuf() { free(p); }
+  float* release() {
+    float* q = p;
+    p = nullptr;
+    return q;
+  }
+};
+
+size_t decode_chunk_impl(size_t nbytes, size_t* buf_size, void** buf) {
   const uint8_t* p = (const uint8_t*)*buf;
   if (nbytes < HDR_SIZE || memcmp(p, "EBT1", 4) != 0 || p[4] != 2) return 0;
   unsigned flags = p[5];
@@ -81,22 +93,26 @@ size_t decode_chunk(size_t nbytes, size_t* buf_size, void** buf) {
   int base_nplanes = p[36], resid_nplanes = p[37];
 
   // the header is untrusted file content: bound every field that sizes an
-  // allocation, a shift, or a read
+  // allocation, a shift, or a read.  levels <= 8 (legit frames never exceed
+  // max_lv = bit_length(min(h,w)-1)-2 <= 14, and the codec defaults to 5;
+  // larger values make synthesis_peaks allocate multi-GiB grids), and the
+  // declared stream bit counts may not exceed 64 bits/px (zstd-bomb guard).
   if (h == 0 || w == 0 || h > 65536 || w > 65536 ||
-      (uint64_t)h * w > (1ull << 28) || base_levels > 12 ||
-      resid_levels > 12 || nchunks < 1 || nchunks > 64 ||
+      (uint64_t)h * w > (1ull << 28) || base_levels > 8 ||
+      resid_levels > 8 || nchunks < 1 || nchunks > 64 ||
       base_nplanes < 1 || base_nplanes > 30 || resid_nplanes > 30 ||
-      max_step_b > 30)
+      max_step_b > 30 ||
+      (uint64_t)base_nbits > 64ull * h * w)
     return 0;
 
   size_t out_bytes = (size_t)h * w * sizeof(float);
-  float* out = (float*)malloc(out_bytes);
-  if (!out) return 0;
+  OutBuf out(out_bytes);
+  if (!out.p) return 0;
 
   if (flags & FLAG_CONST) {
-    for (size_t i = 0; i < (size_t)h * w; ++i) out[i] = mn;
+    for (size_t i = 0; i < (size_t)h * w; ++i) out.p[i] = mn;
     free(*buf);
-    *buf = out;
+    *buf = out.release();
     *buf_size = out_bytes;
     return out_bytes;
   }
@@ -107,50 +123,55 @@ size_t decode_chunk(size_t nbytes, size_t* buf_size, void** buf) {
   uint32_t resid_nbits = 0;
   std::vector<uint8_t> resid_raw;
   if (flags & FLAG_RESID) {
-    if (nbytes < off + RES_SIZE) goto fail;
+    if (nbytes < off + RES_SIZE) return 0;
     rmin = rd<float>(p + off);
     rmax = rd<float>(p + off + 4);
     dc_r = rd<float>(p + off + 8);
     max_step_r = p[off + 12];
     resid_nbits = rd<uint32_t>(p + off + 13);
-    {
-      uint64_t zlen = rd<uint64_t>(p + off + 17);
-      off += RES_SIZE;
-      if (zlen > nbytes - off) goto fail;  // off <= nbytes; no overflow
-      resid_raw.resize((resid_nbits + 7) / 8);
-      size_t r = ZSTD_decompress(resid_raw.data(), resid_raw.size(),
-                                 p + off, zlen);
-      if (ZSTD_isError(r) || r * 8 < resid_nbits) goto fail;
-      off += zlen;
-    }
+    uint64_t zlen = rd<uint64_t>(p + off + 17);
+    off += RES_SIZE;
+    if (zlen > nbytes - off ||  // off <= nbytes; no overflow
+        max_step_r > 30 || (uint64_t)resid_nbits > 64ull * h * w)
+      return 0;
+    resid_raw.resize((resid_nbits + 7) / 8);
+    size_t r = ZSTD_decompress(resid_raw.data(), resid_raw.size(),
+                               p + off, zlen);
+    if (ZSTD_isError(r) || r * 8 < resid_nbits) return 0;
+    off += zlen;
   }
-  {
-    std::vector<uint8_t> base_raw;
-    const uint8_t* base_ptr = p + off;
-    size_t base_len = nbytes - off;
-    if (flags & FLAG_BASE_Z) {
-      base_raw.resize((base_nbits + 7) / 8);
-      size_t r = ZSTD_decompress(base_raw.data(), base_raw.size(), base_ptr,
-                                 base_len);
-      if (ZSTD_isError(r) || r * 8 < base_nbits) goto fail;
-      base_ptr = base_raw.data();
-    } else if (base_len * 8 < base_nbits) {
-      goto fail;  // declared bits not backed by bytes
-    }
-    int rc = ebcc_cpu_decode_frame(
-        base_ptr, base_nbits, max_step_b, mn, mx, dc_b, (int)h, (int)w,
-        base_levels, base_nplanes, nchunks,
-        (flags & FLAG_RESID) ? 1 : 0, resid_raw.data(), resid_nbits,
-        max_step_r, rmin, rmax, dc_r, resid_levels, resid_nplanes, out);
-    if (rc != 0) goto fail;
+  std::vector<uint8_t> base_raw;
+  const uint8_t* base_ptr = p + off;
+  size_t base_len = nbytes - off;
+  if (flags & FLAG_BASE_Z) {
+    base_raw.resize((base_nbits + 7) / 8);
+    size_t r = ZSTD_decompress(base_raw.data(), base_raw.size(), base_ptr,
+                               base_len);
+    if (ZSTD_isError(r) || r * 8 < base_nbits) return 0;
+    base_ptr = base_raw.data();
+  } else if (base_len * 8 < base_nbits) {
+    return 0;  // declared bits not backed by bytes
   }
+  int rc = ebcc_cpu_decode_frame(
+      base_ptr, base_nbits, max_step_b, mn, mx, dc_b, (int)h, (int)w,
+      base_levels, base_nplanes, nchunks,
+      (flags & FLAG_RESID) ? 1 : 0, resid_raw.data(), resid_nbits,
+      max_step_r, rmin, rmax, dc_r, resid_levels, resid_nplanes, out.p);
+  if (rc != 0) return 0;
   free(*buf);
-  *buf = out;
+  *buf = out.release();
   *buf_size = out_bytes;
   return out_bytes;
-fail:
-  free(out);
-  return 0;
+}
+
+size_t decode_chunk(size_t nbytes, size_t* buf_size, void** buf) {
+  // allocation failure (std::bad_alloc) must not escape the extern "C"
+  // filter callback — it would abort the host HDF5 reader process
+  try {
+    return decode_chunk_impl(nbytes, buf_size, buf);
+  } catch (...) {
+    return 0;
+  }
 }
 
 size_t filter_fn(unsigned int flags, size_t /*cd_nelmts*/,

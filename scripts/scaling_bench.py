@@ -32,7 +32,7 @@ def main():
                    help="run on a virtual CPU mesh (for hosts with 1 chip)")
     args = p.parse_args()
 
-    if args.force_cpu_mesh or True:  # one real chip in this environment
+    if args.force_cpu_mesh:
         os.environ["JAX_PLATFORMS"] = "cpu"
         flags = os.environ.get("XLA_FLAGS", "")
         n = max(args.devices)
@@ -40,8 +40,11 @@ def main():
             f"{flags} --xla_force_host_platform_device_count={n}").strip()
 
     import jax
-    if "axon" in (jax.config.jax_platforms or ""):
+    if args.force_cpu_mesh and "axon" in (jax.config.jax_platforms or ""):
         jax.config.update("jax_platforms", "cpu")
+    if len(jax.devices()) < max(args.devices):
+        p.error(f"only {len(jax.devices())} device(s) available; pass "
+                "--force-cpu-mesh to run on a virtual CPU mesh")
     import numpy as np
 
     from ebcc_tpu import EBCCConfig, ResidualMode
