@@ -50,21 +50,27 @@ _DEFERRED_FIELDS = _F32_COEF_FIELDS + (
 
 def _zstd_compress(data: bytes, level: int) -> bytes:
     """The container format mandates zstd (docs/FORMAT.md); a silent
-    substitute codec would produce blobs unreadable elsewhere."""
-    if _zstd is not None:
-        return _zstd.ZstdCompressor(level=level).compress(data)
+    substitute codec would produce blobs unreadable elsewhere.
+
+    Prefer the native runtime (system libzstd): the CPU encoder
+    (native/ebcc_cpu_encoder.cc) entropy-packs with the same library, so
+    the two paths emit byte-identical frames; the Python ``zstandard``
+    package bundles its own libzstd whose output can differ (valid either
+    way, but determinism across paths is worth keeping)."""
     if _native.HAVE_NATIVE:
         return _native.zstd_compress_batch([data], level)[0]
+    if _zstd is not None:
+        return _zstd.ZstdCompressor(level=level).compress(data)
     raise RuntimeError("zstd unavailable (need the zstandard package or "
                        "the native runtime: make -C native)")
 
 
 def _zstd_decompress(data: bytes, max_size: int) -> bytes:
+    if _native.HAVE_NATIVE:
+        return _native.zstd_decompress_batch([data], [max_size])[0]
     if _zstd is not None:
         return _zstd.ZstdDecompressor().decompress(data,
                                                    max_output_size=max_size)
-    if _native.HAVE_NATIVE:
-        return _native.zstd_decompress_batch([data], [max_size])[0]
     raise RuntimeError("zstd unavailable (need the zstandard package or "
                        "the native runtime: make -C native)")
 

@@ -109,20 +109,25 @@ def cmd_sweep(args):
 
 
 def cmd_filter_string(args):
-    """Emit h5py kwargs + plugin info for the HDF5 filter integration
-    (parity with the reference's EBCC_Filter CLI, filter_wrapper.py:84-140,
-    which emits CDO --filter strings)."""
+    """Emit the CDO --filter string, cd_values and h5py kwargs for the
+    HDF5 filter integration (parity with the reference's EBCC_Filter CLI,
+    filter_wrapper.py:84-140)."""
     from .wrappers import hdf5 as whdf5
+    residual_opt = (args.mode, args.error)
+    params = whdf5.EBCCFilterParams(
+        base_cr=args.base_cr, height=args.height, width=args.width,
+        residual_opt=residual_opt, data_dim=args.data_dim)
+    kw = params.hdf5_kwargs()
     print(json.dumps({
-        "filter_id": whdf5.FILTER_ID,
+        "filter_id": params.filter_id,
         "plugin_dir": whdf5._plugin_dir(),
+        "cd_values": list(params.cd_values()),
+        "cdo_filter": params.cdo_filter_string(),
+        "cdo_usage": f"HDF5_PLUGIN_PATH={whdf5._plugin_dir()} cdo --filter "
+                     f"{params.cdo_filter_string()} copy in.nc out.nc",
         "h5py_create_dataset_kwargs": {
-            "dtype": "float32",
-            "chunks": [1, args.height, args.width],
-            "compression": whdf5.FILTER_ID,
-            "allow_unknown_filter": True,
-        },
-        "write": "ebcc_tpu.wrappers.hdf5.write_filtered_dataset(...)",
+            k: (list(v) if isinstance(v, tuple) else v)
+            for k, v in kw.items()},
         "read": "set HDF5_PLUGIN_PATH to plugin_dir (or call "
                 "register_plugin_path()) and read normally",
     }, indent=1))
@@ -176,6 +181,11 @@ def main(argv=None):
                         help="HDF5 filter integration parameters")
     sp.add_argument("--height", type=int, default=721)
     sp.add_argument("--width", type=int, default=1440)
+    sp.add_argument("--mode", choices=sorted(_MODES), default="max_error")
+    sp.add_argument("--error", type=float, default=1e-2,
+                    help="bound / ratio / residual-CR parameter")
+    sp.add_argument("--base-cr", type=float, default=100.0)
+    sp.add_argument("--data-dim", type=int, default=2)
     sp.set_defaults(fn=cmd_filter_string)
 
     args = p.parse_args(argv)

@@ -51,7 +51,13 @@ def synthesis_peaks(levels: int) -> tuple:
         imp = np.zeros((1, n, n), np.float32)
         imp[0, cy, cx] = 1.0
         rec = np.asarray(dwt.idwt2d_multi(imp, levels))
-        peaks[sid] = float(np.max(np.abs(rec)))
+        # quantise to a 1/1024 grid (exact in f32 for peaks < 8): the native
+        # codec computes the same peaks with its own lifting arithmetic
+        # (native/ebcc_cpu_decoder.cc synthesis_peaks) and the two must
+        # produce IDENTICAL weight tables, not merely last-ulp-close ones —
+        # weights scale coefficients ~1e5, so an ulp of weight difference
+        # is ~1e-2 of reconstruction difference
+        peaks[sid] = float(np.round(np.max(np.abs(rec)) * 1024.0) / 1024.0)
     return tuple(peaks)
 
 

@@ -31,34 +31,42 @@ constexpr float DELTA = 0.44355068522f;
 constexpr float XI = 1.149604398f;
 constexpr float U16_MAX = 65535.0f;
 constexpr float RESID_SCALE = 255.0f;
+// XLA strength-reduces division by a compile-time constant into a multiply
+// by the f32-rounded reciprocal, and compiles each lifting step
+// "a - C * (b1 + b2)" as a fused multiply-add of the f32 sum; std::fma /
+// reciprocal multiplies below reproduce the XLA CPU arithmetic bit-for-bit
+// (verified elementwise against jitted kernels)
+constexpr float RECIP_XI = (float)(1.0 / (double)XI);
+constexpr float RECIP_U16 = (float)(1.0 / (double)U16_MAX);
+constexpr float RECIP_RS = (float)(1.0 / (double)RESID_SCALE);
 
 // in-place inverse lifting of one contiguous length-n sequence ([s | d])
 void idwt1d(float* x, int n, float* tmp) {
   int n2 = n / 2;
   float* s = tmp;
   float* d = tmp + n2;
-  for (int i = 0; i < n2; ++i) s[i] = x[i] / XI;
+  for (int i = 0; i < n2; ++i) s[i] = x[i] * RECIP_XI;  // x / XI
   for (int i = 0; i < n2; ++i) d[i] = x[n2 + i] * XI;
   // s -= DELTA * (d + reflect_prev(d))
   float prev = d[1 < n2 ? 1 : 0];
   for (int i = 0; i < n2; ++i) {
     float dp = i == 0 ? prev : d[i - 1];
-    s[i] -= DELTA * (d[i] + dp);
+    s[i] = std::fma(-DELTA, d[i] + dp, s[i]);
   }
   // d -= GAMMA * (s + reflect_next(s))
   for (int i = 0; i < n2; ++i) {
     float sn = i + 1 < n2 ? s[i + 1] : s[n2 - 2];
-    d[i] -= GAMMA * (s[i] + sn);
+    d[i] = std::fma(-GAMMA, s[i] + sn, d[i]);
   }
   // even = s - BETA * (d + reflect_prev(d))
   for (int i = 0; i < n2; ++i) {
     float dp = i == 0 ? d[1 < n2 ? 1 : 0] : d[i - 1];
-    s[i] -= BETA * (d[i] + dp);  // s now holds even
+    s[i] = std::fma(-BETA, d[i] + dp, s[i]);  // s now holds even
   }
   // odd = d - ALPHA * (even + edge_next(even))
   for (int i = 0; i < n2; ++i) {
     float en = i + 1 < n2 ? s[i + 1] : s[n2 - 1];
-    d[i] -= ALPHA * (s[i] + en);  // d now holds odd
+    d[i] = std::fma(-ALPHA, s[i] + en, d[i]);  // d now holds odd
   }
   for (int i = 0; i < n2; ++i) {
     x[2 * i] = s[i];
@@ -133,7 +141,9 @@ const std::vector<float>& synthesis_peaks(int levels) {
     idwt2d_multi(grid.data(), n, n, levels);
     float mx = 0.0f;
     for (float v : grid) mx = std::max(mx, std::fabs(v));
-    peaks[sid] = mx;
+    // 1/1024-grid quantisation: must match ops/weights.py synthesis_peaks
+    // exactly so the JAX and native weight tables are bit-identical
+    peaks[sid] = (float)(std::nearbyint((double)mx * 1024.0) / 1024.0);
   }
   float mn = peaks[0];
   for (float& p : peaks) p = std::min(std::max(p, 0.125f), 8.0f);
@@ -191,6 +201,19 @@ int padded(int n, int levels) {
 
 extern "C" {
 
+// shared helpers for the CPU encoder (ebcc_cpu_encoder.cc): inverse
+// transform and the per-coefficient synthesis-peak weight plane
+void ebcc_cpu_idwt2d_multi(float* x, int H, int W, int levels) {
+  idwt2d_multi(x, H, W, levels);
+}
+
+void ebcc_cpu_weight_plane(int hp, int wp, int levels, float* out) {
+  const auto& peaks = synthesis_peaks(levels);
+  for (int r = 0; r < hp; ++r)
+    for (int c = 0; c < wp; ++c)
+      out[(size_t)r * wp + c] = peaks[subband_id(r, c, hp, wp, levels)];
+}
+
 // Decode one frame to float32 [h, w] with no JAX involvement.
 // base/resid streams are the raw (already un-zstd'd) bitstreams.
 // has_resid: 0/1.  Returns 0 on success.
@@ -205,11 +228,13 @@ int ebcc_cpu_decode_frame(
   std::vector<float> base((size_t)hb * wb);
   decode_layer(base_stream, base_nbits, max_step_b, hb, wb, base_levels,
                base_nplanes, nchunks, dc_b, U16_MAX, base.data());
-  float rng = mx - mn;
+  // y / 65535 * rng + mn, reassociated + fused the way XLA compiles it:
+  // fma(y, recip * rng, mn)
+  float c0 = RECIP_U16 * (mx - mn);
   for (int r = 0; r < h; ++r)
     for (int c = 0; c < w; ++c)
       out[(size_t)r * w + c] =
-          base[(size_t)r * wb + c] / U16_MAX * rng + mn;
+          std::fma(base[(size_t)r * wb + c], c0, mn);
 
   if (has_resid) {
     int hr = padded(h, resid_levels), wr = padded(w, resid_levels);
@@ -217,11 +242,11 @@ int ebcc_cpu_decode_frame(
     decode_layer(resid_stream, resid_nbits, max_step_r, hr, wr,
                  resid_levels, resid_nplanes, nchunks, dc_r, RESID_SCALE,
                  resid.data());
-    float rrng = rmax - rmin;
+    float c1 = RECIP_RS * (rmax - rmin);
     for (int r = 0; r < h; ++r)
       for (int c = 0; c < w; ++c)
         out[(size_t)r * w + c] +=
-            resid[(size_t)r * wr + c] / RESID_SCALE * rrng + rmin;
+            std::fma(resid[(size_t)r * wr + c], c1, rmin);
   }
   return 0;
 }

@@ -1,0 +1,896 @@
+// Standalone CPU frame encoder: float32 frame -> container bytes, no JAX.
+//
+// This is the forward twin of ebcc_cpu_decoder.cc and the piece that makes
+// the HDF5 filter plugin write-capable (the ecosystem role the reference's
+// C encoder plays: /root/reference/src/h5z_j2k.c:124-136 compresses on a
+// plain H5Dwrite).  It replicates the device pipeline
+// (ebcc_tpu/codec/pipeline.py _encode_error_bounded / _encode_rate_targeted
+// + ebcc_tpu/api.py _assemble_frame) operation for operation:
+//
+//   minmax -> u16 scale -> mirror pad -> DC subtract -> CDF 9/7 forward
+//   lifting -> per-subband synthesis-peak weighting -> integer bitplane
+//   analysis -> closed-form truncation search against the error bound
+//   (coarse per-plane scan + fine per-chunk scan, feasibility quantile +
+//   pure-base fallback, j2k_codec.h:562-695 semantics) -> residual layer ->
+//   native bitplane packing (ebcc_coder.cc) -> zstd -> container
+//   (codec/container.py v2 layout).
+//
+// The search evaluates real reconstructions (inverse transform per
+// candidate), exactly like the device path; with early exit it costs
+// ~15-40 inverse DWTs per frame — the same order as the reference's
+// ~6-9 J2K re-encodes + ~15 SPIHT decodes per frame.
+//
+// Numerical note: float32 lifting here can differ from XLA's by last-ulp
+// rounding, so a truncation choice may occasionally differ from the TPU
+// path near feasibility boundaries; both choices satisfy the bound by
+// construction (each side validates against its own reconstruction).
+
+#include <zstd.h>
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+extern "C" {
+void ebcc_cpu_idwt2d_multi(float* x, int H, int W, int levels);
+void ebcc_cpu_weight_plane(int hp, int wp, int levels, float* out);
+void ebcc_coder_encode_batch(const int32_t* coef, int n, int h, int w, int g,
+                             int nplanes, int nchunks,
+                             const int64_t* trunc_bits, uint8_t* out,
+                             int64_t cap_bytes);
+}
+
+namespace {
+
+constexpr float ALPHA = -1.586134342f;
+constexpr float BETA = -0.05298011854f;
+constexpr float GAMMA = 0.8829110762f;
+constexpr float DELTA = 0.44355068522f;
+constexpr float XI = 1.149604398f;
+constexpr float U16_MAX = 65535.0f;
+constexpr float RESID_SCALE = 255.0f;
+// XLA strength-reduces division by a compile-time constant into a multiply
+// by the f32-rounded reciprocal; match it exactly (verified op-by-op
+// against jitted XLA CPU kernels)
+constexpr float RECIP_XI = (float)(1.0 / (double)XI);
+constexpr float RECIP_U16 = (float)(1.0 / (double)U16_MAX);
+constexpr float RECIP_RS = (float)(1.0 / (double)RESID_SCALE);
+constexpr size_t MIN_RESID_BYTES = 16;  // j2k_codec.h:653 semantics
+
+// residual-mode enum (codec/config.py, j2k_codec.h:168-175)
+enum { MODE_NONE = 0, MODE_SPARS = 1, MODE_MAX_ERR = 2, MODE_REL_ERR = 3,
+       MODE_POINTWISE = 5 };
+
+int padded(int n, int levels) {
+  int m = 1 << (levels + 1);
+  return (n + m - 1) / m * m;
+}
+
+// ---- forward CDF 9/7 lifting (ops/dwt.py dwt1d order) ----
+
+// XLA CPU compiles each lifting step "a + C * (b1 + b2)" as a fused
+// multiply-add of the f32 sum; std::fma reproduces it bit-for-bit
+// (verified elementwise against jitted XLA kernels)
+void fdwt1d(float* x, int n, float* tmp) {
+  int n2 = n / 2;
+  float* s = tmp;       // even -> approximation
+  float* d = tmp + n2;  // odd -> detail
+  for (int i = 0; i < n2; ++i) {
+    s[i] = x[2 * i];
+    d[i] = x[2 * i + 1];
+  }
+  // d = odd + ALPHA * (even + edge_next(even))
+  for (int i = 0; i < n2; ++i) {
+    float en = (i + 1 < n2) ? s[i + 1] : s[n2 - 1];
+    d[i] = std::fma(ALPHA, s[i] + en, d[i]);
+  }
+  // s = even + BETA * (d + reflect_prev(d))
+  for (int i = 0; i < n2; ++i) {
+    float dp = (i == 0) ? d[1] : d[i - 1];
+    s[i] = std::fma(BETA, d[i] + dp, s[i]);
+  }
+  // d += GAMMA * (s + reflect_next(s))
+  for (int i = 0; i < n2; ++i) {
+    float sn = (i + 1 < n2) ? s[i + 1] : s[n2 - 2];
+    d[i] = std::fma(GAMMA, s[i] + sn, d[i]);
+  }
+  // s += DELTA * (d + reflect_prev(d))
+  for (int i = 0; i < n2; ++i) {
+    float dp = (i == 0) ? d[1] : d[i - 1];
+    s[i] = std::fma(DELTA, d[i] + dp, s[i]);
+  }
+  for (int i = 0; i < n2; ++i) {
+    x[i] = s[i] * XI;
+    x[n2 + i] = d[i] * RECIP_XI;  // x / XI, as XLA compiles it
+  }
+}
+
+// one forward 2-D level on the top-left (hh, ww) region: rows then columns
+// (ops/dwt.py dwt2d)
+void fdwt2d_level(float* x, int hh, int ww, int W, float* tmp, float* col) {
+  for (int r = 0; r < hh; ++r) fdwt1d(x + (size_t)r * W, ww, tmp);
+  for (int c = 0; c < ww; ++c) {
+    for (int r = 0; r < hh; ++r) col[r] = x[(size_t)r * W + c];
+    fdwt1d(col, hh, tmp);
+    for (int r = 0; r < hh; ++r) x[(size_t)r * W + c] = col[r];
+  }
+}
+
+void fdwt2d_multi(float* x, int H, int W, int levels) {
+  std::vector<float> tmp(std::max(H, W));
+  std::vector<float> col(H);
+  for (int i = 0; i < levels; ++i)
+    fdwt2d_level(x, H >> i, W >> i, W, tmp.data(), col.data());
+}
+
+// ---- framing (ops/frame.py) ----
+
+// mirror pad [h, w] -> [hp, wp] (pad_symmetric: right pad mirrors the last
+// columns, bottom pad mirrors the last rows of the original region,
+// bottom-right corner is zero)
+void pad_symmetric(const float* x, int h, int w, int hp, int wp, float* out) {
+  int ex = wp - w, ey = hp - h;
+  for (int r = 0; r < h; ++r) {
+    const float* src = x + (size_t)r * w;
+    float* dst = out + (size_t)r * wp;
+    memcpy(dst, src, w * sizeof(float));
+    for (int j = 0; j < ex; ++j) dst[w + j] = src[w - 1 - j];
+  }
+  for (int i = 0; i < ey; ++i) {
+    const float* src = x + (size_t)(h - 1 - i) * w;
+    float* dst = out + (size_t)(h + i) * wp;
+    memcpy(dst, src, w * sizeof(float));
+    for (int j = 0; j < ex; ++j) dst[w + j] = 0.0f;
+  }
+}
+
+float dc_floor_mean(const float* x, size_t n) {
+  double s = 0.0;
+  for (size_t i = 0; i < n; ++i) s += x[i];
+  return std::floor((float)(s / (double)n));
+}
+
+int msb_of(uint32_t v) { return v ? 31 - __builtin_clz(v) : -1; }
+
+// ---- per-layer encoder state ----
+
+struct LayerEnc {
+  int h, w;         // padded dims
+  int levels, g, P, J, S;
+  std::vector<int32_t> ci;
+  std::vector<uint32_t> mag;
+  std::vector<uint8_t> neg;
+  std::vector<int8_t> msb;
+  std::vector<std::vector<int8_t>> smax;  // [1..g]
+  int max_step = 0;
+  std::vector<float> wplane;
+  // counts[b][s] and derived cumulative tables
+  std::vector<int64_t> counts;       // P * S
+  std::vector<int64_t> before;       // bits of planes above b
+  std::vector<int64_t> group_bits;   // per b
+  std::vector<int64_t> sigpair_cum;  // P * J (inclusive prefix over stripes)
+  std::vector<int64_t> ref_cum;      // P * J
+  int64_t total_bits = 0;
+
+  int stripe(int r) const { return (int)(((int64_t)r * J) / h); }
+
+  // transform + quantize: padded data-domain plane (DC already removed) ->
+  // weighted int coefficients; builds the analysis pyramid + count tables
+  void analyze(std::vector<float>&& plane) {
+    size_t n = (size_t)h * w;
+    fdwt2d_multi(plane.data(), h, w, levels);
+    ci.resize(n);
+    mag.resize(n);
+    neg.resize(n);
+    msb.resize(n);
+    for (size_t i = 0; i < n; ++i) {
+      // jnp.trunc(coef * w) in float32, then int32 (pipeline.py:141)
+      float v = truncf(plane[i] * wplane[i]);
+      int32_t iv = (int32_t)v;
+      ci[i] = iv;
+      uint32_t m = (uint32_t)(iv < 0 ? -(int64_t)iv : iv);
+      mag[i] = m;
+      neg[i] = iv < 0;
+      msb[i] = (int8_t)msb_of(m);
+    }
+    smax.assign(g + 1, {});
+    // level 0 view is msb itself; build 1..g by 2x2 max pooling
+    const int8_t* prev = msb.data();
+    int wp_prev = w;
+    for (int k = 1; k <= g; ++k) {
+      int hk = h >> k, wk = w >> k;
+      smax[k].resize((size_t)hk * wk);
+      for (int r = 0; r < hk; ++r)
+        for (int c = 0; c < wk; ++c) {
+          int8_t a = prev[(size_t)(2 * r) * wp_prev + 2 * c];
+          int8_t b2 = prev[(size_t)(2 * r) * wp_prev + 2 * c + 1];
+          int8_t c2 = prev[(size_t)(2 * r + 1) * wp_prev + 2 * c];
+          int8_t d = prev[(size_t)(2 * r + 1) * wp_prev + 2 * c + 1];
+          int8_t m = std::max(std::max(a, b2), std::max(c2, d));
+          smax[k][(size_t)r * wk + c] = m;
+        }
+      prev = smax[k].data();
+      wp_prev = wk;
+    }
+    int8_t gm = -1;
+    for (size_t i = 0; i < n; ++i) gm = std::max(gm, msb[i]);
+    max_step = std::max((int)gm, 0);
+    build_counts();
+  }
+
+  // segment order per plane (ops/bitplane.py segment_counts): group levels
+  // g..1, then (sig_j, sign_j) per stripe, then refine_j per stripe
+  void build_counts() {
+    S = g + 3 * J;
+    std::vector<int64_t> diff((size_t)(P + 1) * S, 0);
+    auto add_range = [&](int s, int lo, int hi) {
+      if (hi < lo) return;
+      diff[(size_t)lo * S + s] += 1;
+      diff[(size_t)(hi + 1) * S + s] -= 1;
+    };
+    // group levels: node at level k emits at planes [max(smax_k,0),
+    // min(parent, P-1)] (parent = max_step at k == g)
+    for (int k = g; k >= 1; --k) {
+      int s = g - k;
+      int hk = h >> k, wk = w >> k;
+      const int8_t* sk = smax[k].data();
+      for (int r = 0; r < hk; ++r)
+        for (int c = 0; c < wk; ++c) {
+          int pv = (k == g) ? max_step
+                            : smax[k + 1][(size_t)(r >> 1) * (wk >> 1) +
+                                          (c >> 1)];
+          add_range(s, std::max((int)sk[(size_t)r * wk + c], 0),
+                    std::min(pv, P - 1));
+        }
+    }
+    // level 0: sig at [max(msb,0), min(parent1, P-1)], sign at msb,
+    // refine at [0, min(msb-1, P-1)]
+    int w1 = w >> 1;
+    for (int r = 0; r < h; ++r) {
+      int jj = stripe(r);
+      int s_sig = g + 2 * jj, s_sign = g + 2 * jj + 1, s_ref = g + 2 * J + jj;
+      for (int c = 0; c < w; ++c) {
+        int m = msb[(size_t)r * w + c];
+        int pv = smax[1][(size_t)(r >> 1) * w1 + (c >> 1)];
+        add_range(s_sig, std::max(m, 0), std::min(pv, P - 1));
+        if (m >= 0 && m <= P - 1) add_range(s_sign, m, m);
+        if (m >= 1) add_range(s_ref, 0, std::min(m - 1, P - 1));
+      }
+    }
+    counts.assign((size_t)P * S, 0);
+    std::vector<int64_t> acc(S, 0);
+    for (int b = 0; b < P; ++b) {
+      for (int s = 0; s < S; ++s) {
+        acc[s] += diff[(size_t)b * S + s];
+        counts[(size_t)b * S + s] = acc[s];
+      }
+    }
+    // derived cumulative tables
+    before.assign(P, 0);
+    group_bits.assign(P, 0);
+    sigpair_cum.assign((size_t)P * J, 0);
+    ref_cum.assign((size_t)P * J, 0);
+    std::vector<int64_t> plane_total(P, 0);
+    for (int b = 0; b < P; ++b) {
+      const int64_t* cb = &counts[(size_t)b * S];
+      int64_t gbits = 0;
+      for (int s = 0; s < g; ++s) gbits += cb[s];
+      group_bits[b] = gbits;
+      int64_t cum = 0;
+      for (int jj = 0; jj < J; ++jj) {
+        cum += cb[g + 2 * jj] + cb[g + 2 * jj + 1];
+        sigpair_cum[(size_t)b * J + jj] = cum;
+      }
+      int64_t rcum = 0;
+      for (int jj = 0; jj < J; ++jj) {
+        rcum += cb[g + 2 * J + jj];
+        ref_cum[(size_t)b * J + jj] = rcum;
+      }
+      plane_total[b] = gbits + cum + rcum;
+    }
+    // planes are processed top-down: bits before plane b = planes above it
+    int64_t run = 0;
+    for (int b = P - 1; b >= 0; --b) {
+      before[b] = run;
+      run += plane_total[b];
+    }
+    total_bits = run;
+  }
+
+  // cumulative stream length at fine candidate k of plane b
+  // (ops/bitplane.py candidate_bits): k < J -> after sig+sign chunk k;
+  // else after refine chunk k - J
+  int64_t candidate(int b, int k) const {
+    int64_t v = before[b] + group_bits[b];
+    if (k < J) return v + sigpair_cum[(size_t)b * J + k];
+    return v + sigpair_cum[(size_t)b * J + (J - 1)] +
+           ref_cum[(size_t)b * J + (k - J)];
+  }
+
+  // closed-form coefficient reconstruction at a truncation point
+  // (ops/bitplane.py recon_truncated); fine == false means plane b complete
+  void recon_coef(int b, int js, int jr, bool fine, float* out) const {
+    for (int r = 0; r < h; ++r) {
+      int sid = stripe(r);
+      for (int c = 0; c < w; ++c) {
+        size_t i = (size_t)r * w + c;
+        int m = msb[i];
+        bool old = m > b, nw = m == b;
+        bool visible;
+        int beff;
+        if (!fine) {
+          visible = old || nw;
+          beff = b;
+        } else {
+          visible = old || (nw && sid < js);
+          beff = (old && sid >= jr) ? b + 1 : b;
+        }
+        if (!visible) {
+          out[i] = 0.0f;
+          continue;
+        }
+        uint32_t q = (mag[i] >> beff) << beff;
+        float half = beff > 0 ? (float)((1u << beff) - 1) * 0.5f : 0.0f;
+        float v = (float)q + half;
+        out[i] = neg[i] ? -v : v;
+      }
+    }
+  }
+};
+
+// data-domain reconstruction of one layer from a coefficient recon:
+// /weights -> idwt -> +dc -> clamp [0, hi] (pipeline.py _base_recon /
+// _resid_recon before crop/unscale)
+void layer_recon(const LayerEnc& L, const float* coef, float dc,
+                 float clamp_hi, float* plane) {
+  size_t n = (size_t)L.h * L.w;
+  for (size_t i = 0; i < n; ++i) plane[i] = coef[i] / L.wplane[i];
+  ebcc_cpu_idwt2d_multi(plane, L.h, L.w, L.levels);
+  for (size_t i = 0; i < n; ++i)
+    plane[i] = std::min(std::max(plane[i] + dc, 0.0f), clamp_hi);
+}
+
+struct ErrStats {
+  float maxd;  // max over points of |err| - target
+  double viol;  // fraction of points violating
+};
+
+struct SearchResult {
+  int64_t bits = 0;
+  bool feasible = false;
+  float maxd = 0.0f;
+  int bstar = 0;
+  int kstar = 0;
+};
+
+// Truncation search for one layer, mirroring pipeline.py _search_truncation:
+// coarse top-down plane scan (stats at "plane complete"), first feasible
+// plane for the quantile rule AND for the pure rule (maxd <= 0), then a
+// fine first-feasible scan over the 2J chunk candidates inside each chosen
+// plane.  eval(b, js, jr, fine) returns error stats of the reconstruction
+// truncated there.
+template <typename EvalFn>
+void search_truncation(const LayerEnc& L, float qallow, EvalFn&& eval,
+                       SearchResult* out_q, SearchResult* out_pure) {
+  const int P = L.P, J = L.J;
+  auto ok_rule = [&](const ErrStats& e, float qa) {
+    return qa > 0.0f ? e.viol <= (double)qa : e.maxd <= 0.0f;
+  };
+  int b_q = -1, b_pure = -1;
+  ErrStats last{0.0f, 0.0};
+  for (int b = P - 1; b >= 0; --b) {
+    last = eval(b, 0, 0, false);
+    if (b_q < 0 && ok_rule(last, qallow)) b_q = b;
+    if (b_pure < 0 && last.maxd <= 0.0f) b_pure = b;
+    if (b_q >= 0 && (out_pure == nullptr || b_pure >= 0)) break;
+  }
+  auto fine_select = [&](int bstar, float qa, bool any_ok) {
+    SearchResult r;
+    r.bstar = bstar;
+    r.kstar = 2 * J - 1;
+    ErrStats chosen = last;
+    for (int k = 0; k < 2 * J; ++k) {
+      int js = k < J ? k + 1 : J;
+      int jr = k < J ? 0 : k - J + 1;
+      ErrStats e = eval(bstar, js, jr, true);
+      if (ok_rule(e, qa)) {
+        r.kstar = k;
+        chosen = e;
+        break;
+      }
+      if (k == 2 * J - 1) chosen = e;
+    }
+    if (any_ok) {
+      r.bits = L.candidate(bstar, r.kstar);
+      r.maxd = chosen.maxd;
+      r.feasible = true;
+    } else {
+      // no feasible truncation: take the full stream; maxd is the
+      // plane-0-complete figure (the best the layer can do)
+      r.bits = L.total_bits;
+      r.maxd = last.maxd;
+      r.feasible = false;
+    }
+    return r;
+  };
+  *out_q = fine_select(b_q >= 0 ? b_q : 0, qallow, b_q >= 0);
+  if (out_pure != nullptr) {
+    if (qallow <= 0.0f) {
+      *out_pure = *out_q;  // identical rules -> identical selection
+    } else {
+      *out_pure = fine_select(b_pure >= 0 ? b_pure : 0, 0.0f, b_pure >= 0);
+    }
+  }
+}
+
+// ---- container serialization (codec/container.py v2 layout) ----
+
+struct Blob {
+  std::vector<uint8_t> b;
+  void raw(const void* p, size_t n) {
+    const uint8_t* q = (const uint8_t*)p;
+    b.insert(b.end(), q, q + n);
+  }
+  template <typename T>
+  void le(T v) {
+    raw(&v, sizeof(T));  // x86: little-endian in-memory layout
+  }
+};
+
+constexpr unsigned FLAG_CONST = 1, FLAG_RESID = 2, FLAG_POINTWISE = 4,
+                   FLAG_BASE_Z = 8;
+
+struct Geom {
+  uint8_t base_levels, resid_levels, nchunks, base_nplanes, resid_nplanes;
+};
+
+void pack_header(Blob& o, unsigned flags, uint16_t mode, uint32_t h,
+                 uint32_t w, float mn, float mx, float dc_b,
+                 uint32_t base_nbits, uint8_t max_step_b, const Geom& g) {
+  o.raw("EBT1", 4);
+  o.le<uint8_t>(2);  // version
+  o.le<uint8_t>((uint8_t)flags);
+  o.le<uint16_t>(mode);
+  o.le<uint32_t>(h);
+  o.le<uint32_t>(w);
+  o.le<float>(mn);
+  o.le<float>(mx);
+  o.le<float>(dc_b);
+  o.le<uint32_t>(base_nbits);
+  o.le<uint8_t>(max_step_b);
+  o.le<uint8_t>(g.base_levels);
+  o.le<uint8_t>(g.resid_levels);
+  o.le<uint8_t>(g.nchunks);
+  o.le<uint8_t>(g.base_nplanes);
+  o.le<uint8_t>(g.resid_nplanes);
+}
+
+std::vector<uint8_t> zstd_pack(const uint8_t* p, size_t n, int level) {
+  std::vector<uint8_t> out(ZSTD_compressBound(n));
+  size_t r = ZSTD_compress(out.data(), out.size(), p, n, level);
+  if (ZSTD_isError(r)) return {};
+  out.resize(r);
+  return out;
+}
+
+struct ResidPart {
+  bool present = false;
+  float rmin = 0, rmax = 0, dc_r = 0;
+  uint8_t max_step_r = 0;
+  uint32_t nbits = 0;
+  std::vector<uint8_t> zblob;
+};
+
+std::vector<uint8_t> pack_variant(uint16_t mode, int h, int w, float mn,
+                                  float mx, float dc_b, uint8_t max_step_b,
+                                  const Geom& geom, int64_t bits,
+                                  const uint8_t* base_arena,
+                                  const ResidPart* rp, bool pointwise,
+                                  int zstd_level) {
+  size_t nbytes = (size_t)((bits + 7) / 8);
+  // final entropy stage on the base stream (api.py pack_variant)
+  std::vector<uint8_t> z =
+      zstd_pack(base_arena, nbytes, std::min(zstd_level, 10));
+  bool base_z = !z.empty() && z.size() < nbytes;
+  unsigned flags = (pointwise ? FLAG_POINTWISE : 0) | (base_z ? FLAG_BASE_Z : 0);
+  if (rp && rp->present) flags |= FLAG_RESID;
+  Blob o;
+  pack_header(o, flags, mode, h, w, mn, mx, dc_b, (uint32_t)bits, max_step_b,
+              geom);
+  if (rp && rp->present) {
+    o.le<float>(rp->rmin);
+    o.le<float>(rp->rmax);
+    o.le<float>(rp->dc_r);
+    o.le<uint8_t>(rp->max_step_r);
+    o.le<uint32_t>(rp->nbits);
+    o.le<uint64_t>(rp->zblob.size());
+    o.raw(rp->zblob.data(), rp->zblob.size());
+  }
+  if (base_z)
+    o.raw(z.data(), z.size());
+  else
+    o.raw(base_arena, nbytes);
+  return std::move(o.b);
+}
+
+// native bitplane packing of one frame's coefficients up to trunc bits
+std::vector<uint8_t> encode_stream(const LayerEnc& L, int64_t trunc) {
+  int64_t cap = std::max<int64_t>(8, (trunc + 7) / 8);
+  std::vector<uint8_t> arena(cap, 0);
+  ebcc_coder_encode_batch(L.ci.data(), 1, L.h, L.w, L.g, L.P, L.J, &trunc,
+                          arena.data(), cap);
+  return arena;
+}
+
+}  // namespace
+
+extern "C" {
+
+// debug/test hook: the quantised base-layer coefficient plane as the
+// encoder computes it (u16 scale -> pad -> DC -> fDWT -> weights -> trunc);
+// out must hold padded(h)*padded(w) int32.  Returns the DC offset.
+float ebcc_cpu_debug_base_coef(const float* data, int h, int w, int levels,
+                               int32_t* out) {
+  int hp = padded(h, levels), wp = padded(w, levels);
+  const size_t n = (size_t)h * w;
+  float mn = data[0], mx = data[0];
+  for (size_t i = 0; i < n; ++i) {
+    mn = std::min(mn, data[i]);
+    mx = std::max(mx, data[i]);
+  }
+  float rng = mx - mn;
+  std::vector<float> u16(n);
+  for (size_t i = 0; i < n; ++i) {
+    float y = (data[i] - mn) / rng * U16_MAX;
+    u16[i] = truncf(std::min(std::max(y, 0.0f), U16_MAX));
+  }
+  std::vector<float> plane((size_t)hp * wp);
+  pad_symmetric(u16.data(), h, w, hp, wp, plane.data());
+  float dc = dc_floor_mean(plane.data(), plane.size());
+  for (auto& v : plane) v -= dc;
+  fdwt2d_multi(plane.data(), hp, wp, levels);
+  std::vector<float> wpl((size_t)hp * wp);
+  ebcc_cpu_weight_plane(hp, wp, levels, wpl.data());
+  for (size_t i = 0; i < plane.size(); ++i)
+    out[i] = (int32_t)truncf(plane[i] * wpl[i]);
+  return dc;
+}
+
+// debug/test hook: data-domain base reconstruction at a truncation point
+// (out: [h, w] floats)
+void ebcc_cpu_debug_base_rec(const float* data, int h, int w, int levels,
+                             int nplanes, int nchunks, int b, int js, int jr,
+                             int fine, float* out) {
+  LayerEnc base;
+  base.levels = levels;
+  base.g = levels + 1;
+  base.P = nplanes;
+  base.J = nchunks;
+  base.h = padded(h, levels);
+  base.w = padded(w, levels);
+  base.wplane.resize((size_t)base.h * base.w);
+  ebcc_cpu_weight_plane(base.h, base.w, levels, base.wplane.data());
+  const size_t n = (size_t)h * w;
+  float mn = data[0], mx = data[0];
+  for (size_t i = 0; i < n; ++i) {
+    mn = std::min(mn, data[i]);
+    mx = std::max(mx, data[i]);
+  }
+  float rng = mx - mn;
+  std::vector<float> u16(n);
+  for (size_t i = 0; i < n; ++i) {
+    float y = (data[i] - mn) / rng * U16_MAX;
+    u16[i] = truncf(std::min(std::max(y, 0.0f), U16_MAX));
+  }
+  std::vector<float> plane((size_t)base.h * base.w);
+  pad_symmetric(u16.data(), h, w, base.h, base.w, plane.data());
+  float dc = dc_floor_mean(plane.data(), plane.size());
+  for (auto& v : plane) v -= dc;
+  base.analyze(std::move(plane));
+  std::vector<float> coef((size_t)base.h * base.w);
+  std::vector<float> rec((size_t)base.h * base.w);
+  base.recon_coef(b, js, jr, fine != 0, coef.data());
+  layer_recon(base, coef.data(), dc, U16_MAX, rec.data());
+  float uc = RECIP_U16 * rng;
+  for (int r = 0; r < h; ++r)
+    for (int c = 0; c < w; ++c)
+      out[(size_t)r * w + c] = std::fma(rec[(size_t)r * base.w + c], uc, mn);
+}
+
+// Encode ONE [h, w] float32 frame into a container (docs/FORMAT.md v2).
+//
+// mode/error/base_cr/residual_cr: codec config (codec/config.py).
+// target: per-point error targets [h, w] for POINTWISE mode (already scaled
+// by ratio * (1 - eps)); NULL otherwise.
+// qbase: base-layer feasibility quantile (EBCC_INIT_BASE_ERROR_QUANTILE).
+// Returns bytes written to out, or -1 bad input / -2 out_cap too small /
+// -3 coefficient overflow (nplanes too small for this data).
+int64_t ebcc_cpu_encode_frame(
+    const float* data, const float* target_pw, int h, int w,
+    int mode, float error, float base_cr, float residual_cr,
+    float qbase, int disable_pure_fallback,
+    int base_levels, int resid_levels, int nchunks,
+    int base_nplanes, int resid_nplanes, int zstd_level,
+    uint8_t* out, int64_t out_cap) {
+  if (h < 4 || w < 4 || (int64_t)h * w > (1ll << 28) || nchunks < 1 ||
+      nchunks > 64 || base_nplanes < 1 || base_nplanes > 30 ||
+      resid_nplanes < 1 || resid_nplanes > 30)
+    return -1;
+  if (mode == MODE_POINTWISE && target_pw == nullptr) return -1;
+  // levels clamp (api.compress): L levels need 2**(L+1) < min(h, w)
+  int max_lv = std::max(0, 32 - __builtin_clz((unsigned)(std::min(h, w) - 1)) - 2);
+  base_levels = std::min(std::max(base_levels, 0), std::min(max_lv, 8));
+  resid_levels = std::min(std::max(resid_levels, 0), std::min(max_lv, 8));
+
+  const size_t n = (size_t)h * w;
+  float mn = data[0], mx = data[0];
+  for (size_t i = 0; i < n; ++i) {
+    float v = data[i];
+    if (!std::isfinite(v)) return -1;  // j2k_codec.h:451-458
+    mn = std::min(mn, v);
+    mx = std::max(mx, v);
+  }
+  Geom geom{(uint8_t)base_levels, (uint8_t)resid_levels, (uint8_t)nchunks,
+            (uint8_t)base_nplanes, (uint8_t)resid_nplanes};
+  bool pointwise = mode == MODE_POINTWISE;
+  uint16_t mode16 = (uint16_t)mode;
+
+  if (mn == mx) {  // constant field shortcut (j2k_codec.h:515,731-735)
+    Blob o;
+    pack_header(o, FLAG_CONST | (pointwise ? FLAG_POINTWISE : 0), mode16, h,
+                w, mn, mx, 0.0f, 0, 0, geom);
+    o.le<uint64_t>((uint64_t)n);  // tot_size
+    if ((int64_t)o.b.size() > out_cap) return -2;
+    memcpy(out, o.b.data(), o.b.size());
+    return (int64_t)o.b.size();
+  }
+
+  // ---- base layer transform ----
+  LayerEnc base;
+  base.levels = base_levels;
+  base.g = base_levels + 1;
+  base.P = base_nplanes;
+  base.J = nchunks;
+  base.h = padded(h, base_levels);
+  base.w = padded(w, base_levels);
+  base.wplane.resize((size_t)base.h * base.w);
+  ebcc_cpu_weight_plane(base.h, base.w, base_levels, base.wplane.data());
+
+  float rng = mx - mn;
+  std::vector<float> u16(n);
+  for (size_t i = 0; i < n; ++i) {
+    float y = (data[i] - mn) / rng * U16_MAX;
+    u16[i] = truncf(std::min(std::max(y, 0.0f), U16_MAX));
+  }
+  std::vector<float> plane((size_t)base.h * base.w);
+  pad_symmetric(u16.data(), h, w, base.h, base.w, plane.data());
+  float dc_b = dc_floor_mean(plane.data(), plane.size());
+  for (auto& v : plane) v -= dc_b;
+  base.analyze(std::move(plane));
+  if (base.max_step > base.P - 1) return -3;
+
+  // scratch buffers for candidate evaluation
+  std::vector<float> coef_buf((size_t)base.h * base.w);
+  std::vector<float> rec_buf((size_t)base.h * base.w);
+
+  // data-domain base recon at a truncation (crop + unscale inline)
+  // y / 65535 * rng + mn, reassociated + fused the way XLA compiles it:
+  // fma(y, recip * rng, mn)
+  const float unscale_c = RECIP_U16 * rng;
+  auto base_eval = [&](int b, int js, int jr, bool fine) -> ErrStats {
+    base.recon_coef(b, js, jr, fine, coef_buf.data());
+    layer_recon(base, coef_buf.data(), dc_b, U16_MAX, rec_buf.data());
+    float maxd = -std::numeric_limits<float>::infinity();
+    size_t nv = 0;
+    for (int r = 0; r < h; ++r)
+      for (int c = 0; c < w; ++c) {
+        float rec = std::fma(rec_buf[(size_t)r * base.w + c], unscale_c, mn);
+        float tgt = pointwise ? target_pw[(size_t)r * w + c]
+                              : (mode == MODE_REL_ERR ? error * rng : error);
+        float e = std::fabs(data[(size_t)r * w + c] - rec) - tgt;
+        maxd = std::max(maxd, e);
+        if (e > 0.0f) ++nv;
+      }
+    return {maxd, (double)nv / (double)n};
+  };
+
+  SearchResult q, pure;
+  int64_t bits_b = 0, bits_pure_b = 0, bits_r = 0;
+  bool skip_residual = false, resid_feasible = false, feasible_pure = false;
+  bool error_bounded = mode == MODE_MAX_ERR || mode == MODE_REL_ERR ||
+                       mode == MODE_POINTWISE;
+
+  LayerEnc resid;
+  float rmn = 0, rmx = 0, dc_r = 0;
+  std::vector<float> base_rec;  // [h, w] data-domain chosen reconstruction
+
+  if (error_bounded) {
+    search_truncation(base, qbase, base_eval, &q, &pure);
+    bits_b = q.bits;
+    bits_pure_b = pure.bits;
+    feasible_pure = pure.feasible;
+    skip_residual = q.maxd <= 0.0f;  // "Skip Residual" (j2k_codec.h:584)
+
+    // chosen base reconstruction -> residual
+    int js = q.kstar < base.J ? q.kstar + 1 : base.J;
+    int jr = q.kstar < base.J ? 0 : q.kstar - base.J + 1;
+    base.recon_coef(q.bstar, js, jr, true, coef_buf.data());
+    layer_recon(base, coef_buf.data(), dc_b, U16_MAX, rec_buf.data());
+    base_rec.resize(n);
+    for (int r = 0; r < h; ++r)
+      for (int c = 0; c < w; ++c)
+        base_rec[(size_t)r * w + c] =
+            std::fma(rec_buf[(size_t)r * base.w + c], unscale_c, mn);
+
+    // ---- residual layer (pipeline.py _resid_transform) ----
+    std::vector<float> rs(n);
+    for (size_t i = 0; i < n; ++i) rs[i] = data[i] - base_rec[i];
+    rmn = rs[0];
+    rmx = rs[0];
+    for (size_t i = 0; i < n; ++i) {
+      rmn = std::min(rmn, rs[i]);
+      rmx = std::max(rmx, rs[i]);
+    }
+    float rrng = rmx > rmn ? rmx - rmn : 1.0f;
+    for (size_t i = 0; i < n; ++i)
+      rs[i] = (rs[i] - rmn) / rrng * RESID_SCALE;
+
+    resid.levels = resid_levels;
+    resid.g = resid_levels + 1;
+    resid.P = resid_nplanes;
+    resid.J = nchunks;
+    resid.h = padded(h, resid_levels);
+    resid.w = padded(w, resid_levels);
+    resid.wplane.resize((size_t)resid.h * resid.w);
+    ebcc_cpu_weight_plane(resid.h, resid.w, resid_levels,
+                          resid.wplane.data());
+    std::vector<float> rplane((size_t)resid.h * resid.w);
+    pad_symmetric(rs.data(), h, w, resid.h, resid.w, rplane.data());
+    dc_r = dc_floor_mean(rplane.data(), rplane.size());
+    for (auto& v : rplane) v -= dc_r;
+    resid.analyze(std::move(rplane));
+    if (resid.max_step > resid.P - 1) return -3;
+
+    std::vector<float> rcoef((size_t)resid.h * resid.w);
+    std::vector<float> rrec((size_t)resid.h * resid.w);
+    auto resid_eval = [&](int b, int js2, int jr2, bool fine) -> ErrStats {
+      resid.recon_coef(b, js2, jr2, fine, rcoef.data());
+      layer_recon(resid, rcoef.data(), dc_r, RESID_SCALE, rrec.data());
+      float maxd = -std::numeric_limits<float>::infinity();
+      size_t nv = 0;
+      float rc0 = RECIP_RS * (rmx - rmn);
+      for (int r = 0; r < h; ++r)
+        for (int c = 0; c < w; ++c) {
+          float rec = base_rec[(size_t)r * w + c] +
+                      std::fma(rrec[(size_t)r * resid.w + c], rc0, rmn);
+          float tgt = pointwise ? target_pw[(size_t)r * w + c]
+                                : (mode == MODE_REL_ERR ? error * rng : error);
+          float e = std::fabs(data[(size_t)r * w + c] - rec) - tgt;
+          maxd = std::max(maxd, e);
+          if (e > 0.0f) ++nv;
+        }
+      return {maxd, (double)nv / (double)n};
+    };
+    SearchResult rq;
+    search_truncation(resid, 0.0f, resid_eval, &rq, nullptr);
+    bits_r = rq.bits;
+    resid_feasible = rq.feasible;
+  } else {
+    // NONE / SPARSIFICATION_FACTOR: rate-targeted truncation
+    // (pipeline.py _encode_rate_targeted)
+    int64_t budget_b = (int64_t)(32.0 * h * w / base_cr);
+    auto pick = [&](const LayerEnc& L, int64_t budget, SearchResult* r) {
+      // last candidate <= budget over the flattened (plane desc, k asc)
+      // order; candidates are monotone nondecreasing
+      int idx = -1;
+      int total = L.P * 2 * L.J;
+      for (int f = 0; f < total; ++f) {
+        int b = L.P - 1 - f / (2 * L.J);
+        int k = f % (2 * L.J);
+        if (L.candidate(b, k) <= budget)
+          idx = f;
+        else
+          break;
+      }
+      idx = std::max(idx, 0);
+      r->bstar = L.P - 1 - idx / (2 * L.J);
+      r->kstar = idx % (2 * L.J);
+      r->bits = L.candidate(r->bstar, r->kstar);
+      r->feasible = true;
+    };
+    pick(base, budget_b, &q);
+    bits_b = bits_pure_b = q.bits;
+    bool use_resid = mode == MODE_SPARS;
+    skip_residual = !use_resid;
+    resid_feasible = use_resid;
+    if (use_resid) {
+      int js = q.kstar < base.J ? q.kstar + 1 : base.J;
+      int jr = q.kstar < base.J ? 0 : q.kstar - base.J + 1;
+      base.recon_coef(q.bstar, js, jr, true, coef_buf.data());
+      layer_recon(base, coef_buf.data(), dc_b, U16_MAX, rec_buf.data());
+      base_rec.resize(n);
+      float uc = RECIP_U16 * rng;
+      for (int r = 0; r < h; ++r)
+        for (int c = 0; c < w; ++c)
+          base_rec[(size_t)r * w + c] =
+              std::fma(rec_buf[(size_t)r * base.w + c], uc, mn);
+      std::vector<float> rs(n);
+      for (size_t i = 0; i < n; ++i) rs[i] = data[i] - base_rec[i];
+      rmn = rs[0];
+      rmx = rs[0];
+      for (size_t i = 0; i < n; ++i) {
+        rmn = std::min(rmn, rs[i]);
+        rmx = std::max(rmx, rs[i]);
+      }
+      float rrng = rmx > rmn ? rmx - rmn : 1.0f;
+      for (size_t i = 0; i < n; ++i)
+        rs[i] = (rs[i] - rmn) / rrng * RESID_SCALE;
+      resid.levels = resid_levels;
+      resid.g = resid_levels + 1;
+      resid.P = resid_nplanes;
+      resid.J = nchunks;
+      resid.h = padded(h, resid_levels);
+      resid.w = padded(w, resid_levels);
+      resid.wplane.resize((size_t)resid.h * resid.w);
+      ebcc_cpu_weight_plane(resid.h, resid.w, resid_levels,
+                            resid.wplane.data());
+      std::vector<float> rplane((size_t)resid.h * resid.w);
+      pad_symmetric(rs.data(), h, w, resid.h, resid.w, rplane.data());
+      dc_r = dc_floor_mean(rplane.data(), rplane.size());
+      for (auto& v : rplane) v -= dc_r;
+      resid.analyze(std::move(rplane));
+      if (resid.max_step > resid.P - 1) return -3;
+      SearchResult rq;
+      pick(resid, (int64_t)(8.0 * h * w / residual_cr), &rq);
+      bits_r = rq.bits;
+    }
+  }
+
+  // ---- streams + container (api.py _pack_streams / _assemble_frame) ----
+  std::vector<uint8_t> base_arena =
+      encode_stream(base, std::max(bits_b, bits_pure_b));
+  ResidPart rp;
+  if (!skip_residual && (resid_feasible || error_bounded) && bits_r > 0 &&
+      !resid.ci.empty()) {
+    std::vector<uint8_t> rraw = encode_stream(resid, bits_r);
+    size_t rbytes = (size_t)((bits_r + 7) / 8);
+    if (rbytes > MIN_RESID_BYTES) {
+      rp.zblob = zstd_pack(rraw.data(), rbytes, zstd_level);
+      if (!rp.zblob.empty()) {
+        rp.present = true;
+        rp.rmin = rmn;
+        rp.rmax = rmx;
+        rp.dc_r = dc_r;
+        rp.max_step_r = (uint8_t)resid.max_step;
+        rp.nbits = (uint32_t)bits_r;
+      }
+    }
+  }
+
+  std::vector<uint8_t> combined =
+      pack_variant(mode16, h, w, mn, mx, dc_b, (uint8_t)base.max_step, geom,
+                   bits_b, base_arena.data(), &rp, pointwise, zstd_level);
+  std::vector<uint8_t>* chosen = &combined;
+  std::vector<uint8_t> pure_blob;
+  if (error_bounded) {
+    // pure-base fallback comparison (j2k_codec.h:663-695, api.py)
+    bool pure_required = !skip_residual && (!rp.present || !resid_feasible);
+    if (!(disable_pure_fallback && !pure_required)) {
+      pure_blob = pack_variant(mode16, h, w, mn, mx, dc_b,
+                               (uint8_t)base.max_step, geom, bits_pure_b,
+                               base_arena.data(), nullptr, pointwise,
+                               zstd_level);
+      if (pure_required ||
+          (feasible_pure && pure_blob.size() < combined.size()))
+        chosen = &pure_blob;
+    }
+  }
+  if ((int64_t)chosen->size() > out_cap) return -2;
+  memcpy(out, chosen->data(), chosen->size());
+  return (int64_t)chosen->size();
+}
+
+}  // extern "C"
