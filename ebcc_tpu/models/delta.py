@@ -48,30 +48,39 @@ class DeltaCompressor:
         Per slice, both the direct encoding and the delta-from-previous-
         reconstruction encoding are measured and the smaller kept
         (delta_compression.py:301-389).
+
+        The L direct passes are independent and run as ONE batched device
+        pipeline (``DirectCompressor.compress_batch``); only the delta
+        probes are sequential (slice i's residual needs the decoder-exact
+        reconstruction of slice i-1, which depends on the choice there).
+        Each probe returns its reconstruction from the encode itself, so
+        no slice ever pays a separate decompress round trip.
         """
         data = np.asarray(data, np.float32)
         eb = np.broadcast_to(np.asarray(error_bound, np.float32),
                              data.shape)
         nlev = data.shape[0]
+        # one batched dispatch chain for ALL direct passes
+        direct = self.direct.compress_batch(data, eb)
         parts = []
         prev_rec = None
         n_delta = 0
         for i in range(nlev):
-            direct_blob = self.direct.compress(data[i], eb[i])
+            direct_blob, direct_rec = direct[i]
             if prev_rec is None:
-                chosen, is_delta = direct_blob, False
+                chosen, is_delta, rec = direct_blob, False, direct_rec
             else:
                 resid = data[i] - prev_rec
-                delta_blob = self.direct.compress(resid, eb[i])
+                delta_blob, delta_rec = self.direct.compress_with_rec(
+                    resid, eb[i])
                 if len(delta_blob) < len(direct_blob):
                     chosen, is_delta = delta_blob, True
+                    rec = prev_rec + delta_rec
                     n_delta += 1
                 else:
-                    chosen, is_delta = direct_blob, False
+                    chosen, is_delta, rec = direct_blob, False, direct_rec
             parts.append((is_delta, chosen))
-            # reconstruct exactly what the decoder will see
-            dec = self.direct.decompress(chosen)
-            prev_rec = (prev_rec + dec) if is_delta else dec
+            prev_rec = rec  # decoder-exact state, no extra decode needed
         elog.info("DeltaCompressor: %d/%d slices used delta coding",
                   n_delta, nlev)
         head = struct.pack("<4sI", _MAGIC, nlev)

@@ -88,9 +88,37 @@ class DirectCompressor:
 
     # -- public API ----------------------------------------------------------
 
+    def _assemble(self, data, eb, blob, rec):
+        """Patch + frame a core container blob; returns (blob, rec) where
+        ``rec`` is EXACTLY what :meth:`decompress` will reconstruct (the
+        chain compressors rely on this to keep encoder and decoder state
+        identical)."""
+        err = np.abs(rec - data)
+        fail = err > eb * self.ratio
+        fail_idx = np.nonzero(fail.reshape(-1))[0]
+        elog.debug("DirectCompressor: %d/%d points patched",
+                   len(fail_idx), data.size)
+        vals = data.reshape(-1)[fail_idx]
+        patch = self._encode_patch(fail_idx, vals, data.size)
+        head = struct.pack("<4sBQ", _MAGIC, len(data.shape), len(blob))
+        dims = struct.pack(f"<{len(data.shape)}I", *data.shape)
+        rec = np.array(rec, copy=True)
+        rec.reshape(-1)[fail_idx] = vals
+        return head + dims + blob + patch, rec
+
     def compress(self, data, error_bound) -> bytes:
         """Compress [..., H, W] float32 against a per-point bound array
         (same shape, or scalar).  Returns a self-describing blob."""
+        return self.compress_with_rec(data, error_bound)[0]
+
+    def compress_with_rec(self, data, error_bound):
+        """Compress and also return the decoder-exact reconstruction.
+
+        The reconstruction equals ``decompress(blob)`` bit for bit — the
+        codec already computes it for the exact-value patch, so chain
+        compressors (delta/predictive) get the decoder state without a
+        second decode round trip.
+        """
         data = np.asarray(data, np.float32)
         eb = np.broadcast_to(np.asarray(error_bound, np.float32),
                              data.shape).copy()
@@ -98,17 +126,35 @@ class DirectCompressor:
             raise ValueError("error_bound must be positive everywhere")
         blob = api.compress(data, self.config, error_bound=eb)
         rec = api.decompress(blob, self.config).reshape(data.shape)
+        return self._assemble(data, eb, blob, rec)
 
-        err = np.abs(rec - data)
-        fail = err > eb * self.ratio
-        fail_idx = np.nonzero(fail.reshape(-1))[0]
-        elog.debug("DirectCompressor: %d/%d points patched",
-                   len(fail_idx), data.size)
-        patch = self._encode_patch(fail_idx, data.reshape(-1)[fail_idx],
-                                   data.size)
-        head = struct.pack("<4sBQ", _MAGIC, len(data.shape), len(blob))
-        dims = struct.pack(f"<{len(data.shape)}I", *data.shape)
-        return head + dims + blob + patch
+    def compress_batch(self, datas, error_bounds):
+        """Compress L independent slices in ONE batched device pipeline.
+
+        ``datas``/``error_bounds``: [L, ..., H, W].  Returns a list of
+        L ``(blob, rec)`` pairs, each identical to what
+        :meth:`compress_with_rec` returns for that slice — but the
+        transform/search/packing runs as one pipelined ``api.compress``
+        over all L*frames frames instead of L separate dispatch chains
+        (the batching the reference gets from its process pools,
+        delta_compression.py:223-245)."""
+        from ..codec import container as _c
+        datas = np.asarray(datas, np.float32)
+        ebs = np.broadcast_to(
+            np.asarray(error_bounds, np.float32), datas.shape).copy()
+        if np.any(ebs <= 0):
+            raise ValueError("error_bound must be positive everywhere")
+        nslices = datas.shape[0]
+        slice_shape = datas.shape[1:]
+        fps = int(np.prod(slice_shape[:-2], dtype=np.int64))  # frames/slice
+        blob_all = api.compress(datas, self.config, error_bound=ebs)
+        rec_all = api.decompress(blob_all, self.config).reshape(datas.shape)
+        frames = _c.unpack_blob(blob_all)
+        out = []
+        for i in range(nslices):
+            sub = _c.pack_blob(frames[i * fps:(i + 1) * fps])
+            out.append(self._assemble(datas[i], ebs[i], sub, rec_all[i]))
+        return out
 
     def decompress(self, blob: bytes) -> np.ndarray:
         magic, ndim, blen = struct.unpack_from("<4sBQ", blob, 0)

@@ -53,14 +53,19 @@ class PredictiveCompressor:
         nsteps = data.shape[0]
         history: list[np.ndarray] = []
         parts = []
+        # warmup steps are independent: one batched device pipeline
+        warm = self.direct.compress_batch(
+            data[:self.warmup], eb[:self.warmup]) if nsteps else []
         for t in range(nsteps):
             if t < self.warmup:
-                blob = self.direct.compress(data[t], eb[t])
-                rec = self.direct.decompress(blob)
+                blob, rec = warm[t]
             else:
                 pred = np.asarray(self.forecast_fn(history), np.float32)
-                blob = self.direct.compress(data[t] - pred, eb[t])
-                rec = pred + self.direct.decompress(blob)
+                # the encode returns the decoder-exact residual recon —
+                # no separate decompress round trip
+                blob, dec = self.direct.compress_with_rec(
+                    data[t] - pred, eb[t])
+                rec = pred + dec
             parts.append(blob)
             history.append(rec)
             if len(history) > self.warmup:
