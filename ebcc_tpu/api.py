@@ -221,6 +221,113 @@ def compress(data, config: EBCCConfig | None = None, *,
     return container.pack_blob(out_frames)
 
 
+# fields of EncodeResult that differ per quantile candidate in
+# encode_error_bounded_multi (everything else is shared device buffers)
+_PER_Q_FIELDS = ("base_bits_q", "rmin", "rmax", "dc_r", "max_step_r",
+                 "resid_coef", "resid_bits", "resid_feasible",
+                 "skip_residual", "resid_pack16", "resid_pack8",
+                 "resid_shift", "resid_shift8", "resid_pack16_ok",
+                 "resid_pack8_ok")
+
+
+def compress_multi_q(data, qs, config: EBCCConfig | None = None, *,
+                     error_bound=None) -> list[bytes]:
+    """Compress under K base-quantile candidates in one device dispatch
+    per batch; returns one blob per candidate.
+
+    The base layer (transform, analysis, truncation scans, packed arena)
+    is computed and transferred ONCE and shared across candidates — only
+    each candidate's truncation points and residual layer differ.  This is
+    the rate optimiser's engine (models/rate_opt.py), replacing K full
+    re-compressions (the reference's golden-section probes,
+    image_compression.py:499-567).
+    """
+    import dataclasses
+
+    config = config or EBCCConfig()
+    if config.mode not in (ResidualMode.MAX_ERROR,
+                           ResidualMode.RELATIVE_ERROR,
+                           ResidualMode.POINTWISE_MAX_ERROR):
+        raise ValueError("compress_multi_q needs an error-bounded mode")
+    qs = [float(q) for q in qs]
+    data = np.asarray(data, np.float32)
+    if data.ndim < 2:
+        raise ValueError("data must be at least 2-D")
+    h, w = data.shape[-2], data.shape[-1]
+    if min(h, w) < 4:
+        raise ValueError("frames must be at least 4x4")
+    frames = data.reshape(-1, h, w)
+    if not np.isfinite(frames).all():
+        raise ValueError("NaN or Inf in data (j2k_codec.h:451-458)")
+    max_lv = max(0, (min(h, w) - 1).bit_length() - 2)
+    if config.base_levels > max_lv or config.residual_levels > max_lv:
+        config = dataclasses.replace(
+            config, base_levels=min(config.base_levels, max_lv),
+            residual_levels=min(config.residual_levels, max_lv))
+    n = frames.shape[0]
+    codec = _codec_for(h, w, config)
+    mode = config.mode
+    pointwise = mode == ResidualMode.POINTWISE_MAX_ERROR
+    if pointwise:
+        if error_bound is None:
+            raise ValueError("POINTWISE_MAX_ERROR requires error_bound")
+        eb_all = np.asarray(error_bound, np.float32).reshape(-1, h, w)
+        eb_all = eb_all * config.pointwise_max_error_ratio * (1 - 1e-8)
+
+    out_frames = [[] for _ in qs]
+    bsz = min(config.max_batch, n)
+    for lo, hi in _batches(n, bsz):
+        batch = frames[lo:hi]
+        nb = batch.shape[0]
+        if nb < bsz:
+            batch = np.concatenate(
+                [batch, np.repeat(batch[-1:], bsz - nb, axis=0)], axis=0)
+        if pointwise:
+            ebb = eb_all[lo:hi]
+            if ebb.shape[0] < bsz:
+                ebb = np.concatenate(
+                    [ebb, np.repeat(ebb[-1:], bsz - ebb.shape[0], 0)], 0)
+            target = ebb
+        elif mode == ResidualMode.RELATIVE_ERROR:
+            rng = batch.max(axis=(-2, -1)) - batch.min(axis=(-2, -1))
+            target = (config.error * rng).astype(np.float32)
+        else:
+            target = np.full(bsz, config.error, np.float32)
+        res_list = codec.encode_error_bounded_multi(batch, target, qs)
+        rd0 = res_list[0]._asdict()
+        # shared (base-layer) fields: fetched once
+        shared = jax.device_get(
+            {k: v for k, v in rd0.items()
+             if k not in _DEFERRED_FIELDS and k not in _PER_Q_FIELDS})
+        # one base arena serves every candidate's truncation (embedded
+        # streams: all candidate rates are prefixes)
+        bits_q_all = jax.device_get(
+            [r.base_bits_q for r in res_list])
+        trunc_b = np.maximum.reduce(bits_q_all).astype(np.int64)
+        trunc_b = np.maximum(trunc_b,
+                             shared["base_bits_pure"]).astype(np.int64)
+        res_b = dict(shared, base_bits_q=bits_q_all[0])
+        base_stream = _pack_layer_streams(res_b, codec, rd0, "base",
+                                          trunc_b)
+        for k, res in enumerate(res_list):
+            rd = res._asdict()
+            perq = jax.device_get(
+                {f: rd[f] for f in _PER_Q_FIELDS
+                 if f not in _DEFERRED_FIELDS})
+            perq["base_bits_q"] = bits_q_all[k]
+            resn = dict(shared, **perq)
+            trunc_r = np.where(resn["skip_residual"], 0,
+                               resn["resid_bits"]).astype(np.int64)
+            resid_stream = _pack_layer_streams(resn, codec, rd, "resid",
+                                               trunc_r)
+            streams = (base_stream, resid_stream)
+            zblobs = _zstd_stage(resn, streams, hi - lo, config)
+            for i in range(hi - lo):
+                out_frames[k].append(_assemble_frame(
+                    resn, i, h, w, config, mode, streams, zblobs))
+    return [container.pack_blob(f) for f in out_frames]
+
+
 def _zstd_stage(res, streams, n, config):
     """Entropy-pack residual streams, batched (native threads when built)."""
     _, resid_stream = streams
@@ -262,66 +369,59 @@ def _fetch_coef(res, rd, layer):
     return ("dense", np.asarray(rd[f"{layer}_coef"]), None)
 
 
-def _pack_streams(res, codec, rd):
-    """Entropy-pack the chosen (coefficients, truncation) pairs.
+def _pack_layer_streams(res, codec, rd, layer, trunc):
+    """Entropy-pack one layer's (coefficients, truncation) pairs.
 
     Native host coder when available (native/ebcc_coder.cc); pure-JAX
-    packer (ops/bitplane.py) otherwise.  Returns per-frame callables
-    base(i, bits) / resid(i, bits) yielding trimmed byte streams — any
-    prefix of the embedded stream is valid, so one arena serves both the
-    quantile truncation and the pure-base fallback truncation.
-    ``rd`` holds the not-yet-fetched device arrays (coefficient forms).
+    packer (ops/bitplane.py) otherwise.  Returns a per-frame callable
+    stream(i, bits) yielding trimmed byte streams — any prefix of the
+    embedded stream is valid, so one arena serves every truncation up to
+    ``trunc[i]``.  ``rd`` holds the not-yet-fetched device arrays
+    (coefficient forms).
     """
-    base_spec = codec.base.spec
-    resid_spec = codec.resid.spec
+    geom = codec.base if layer == "base" else codec.resid
+    spec = geom.spec
+    if _native.HAVE_NATIVE:
+        form = _fetch_coef(res, rd, layer)
+        if form[0] == "sparse":
+            _, deltas, vals, counts, shifts = form
+            arena = _native.coder_encode_batch_sparse(
+                deltas, vals, counts, shifts, spec.height, spec.width,
+                trunc, spec.group_levels, spec.nplanes, spec.nchunks)
+        else:
+            _, coef, shifts = form
+            arena = _native.coder_encode_batch(
+                coef, trunc, spec.group_levels, spec.nplanes, spec.nchunks,
+                shifts=shifts)
+
+        def stream(i, bits):
+            return arena[i, : (int(bits) + 7) // 8].tobytes()
+    else:
+        # guard the bound contract: the word buffers must hold every bit the
+        # container will claim (silent tail truncation = silent corruption)
+        if trunc.max(initial=0) > geom.cap_words * 32:
+            raise RuntimeError(
+                "stream exceeds fallback packer capacity; raise "
+                "base_cap_bits_per_px/residual_cap_bits_per_px")
+        words, _, _ = bp.encode_batch(rd[f"{layer}_coef"],
+                                      trunc.astype(np.int32),
+                                      spec, geom.cap_words)
+        words = np.asarray(words)
+
+        def stream(i, bits):
+            return _words_to_bytes(words[i], int(bits))
+
+    return stream
+
+
+def _pack_streams(res, codec, rd):
+    """Both layers' stream packers: (base(i, bits), resid(i, bits))."""
     trunc_b = np.maximum(res["base_bits_q"],
                          res["base_bits_pure"]).astype(np.int64)
     trunc_r = np.where(res["skip_residual"], 0,
                        res["resid_bits"]).astype(np.int64)
-    if _native.HAVE_NATIVE:
-        def encode_layer(layer, spec, trunc):
-            form = _fetch_coef(res, rd, layer)
-            if form[0] == "sparse":
-                _, deltas, vals, counts, shifts = form
-                return _native.coder_encode_batch_sparse(
-                    deltas, vals, counts, shifts, spec.height, spec.width,
-                    trunc, spec.group_levels, spec.nplanes, spec.nchunks)
-            _, coef, shifts = form
-            return _native.coder_encode_batch(
-                coef, trunc, spec.group_levels, spec.nplanes, spec.nchunks,
-                shifts=shifts)
-
-        base_arena = encode_layer("base", base_spec, trunc_b)
-        resid_arena = encode_layer("resid", resid_spec, trunc_r)
-
-        def base(i, bits):
-            return base_arena[i, : (int(bits) + 7) // 8].tobytes()
-
-        def resid(i, bits):
-            return resid_arena[i, : (int(bits) + 7) // 8].tobytes()
-    else:
-        # guard the bound contract: the word buffers must hold every bit the
-        # container will claim (silent tail truncation = silent corruption)
-        if (trunc_b.max(initial=0) > codec.base.cap_words * 32 or
-                trunc_r.max(initial=0) > codec.resid.cap_words * 32):
-            raise RuntimeError(
-                "stream exceeds fallback packer capacity; raise "
-                "base_cap_bits_per_px/residual_cap_bits_per_px")
-        bw, _, _ = bp.encode_batch(rd["base_coef"],
-                                   trunc_b.astype(np.int32),
-                                   base_spec, codec.base.cap_words)
-        rw, _, _ = bp.encode_batch(rd["resid_coef"],
-                                   trunc_r.astype(np.int32),
-                                   resid_spec, codec.resid.cap_words)
-        bw, rw = np.asarray(bw), np.asarray(rw)
-
-        def base(i, bits):
-            return _words_to_bytes(bw[i], int(bits))
-
-        def resid(i, bits):
-            return _words_to_bytes(rw[i], int(bits))
-
-    return base, resid
+    return (_pack_layer_streams(res, codec, rd, "base", trunc_b),
+            _pack_layer_streams(res, codec, rd, "resid", trunc_r))
 
 
 def _geom(config):

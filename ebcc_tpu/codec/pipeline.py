@@ -124,6 +124,7 @@ class FrameCodec:
         self.wr = jnp.asarray(weights.weight_array(
             self.resid.hp, self.resid.wp, c.residual_levels))
         self._encode_eb = jax.jit(self._encode_error_bounded)
+        self._encode_eb_multi = jax.jit(self._encode_error_bounded_multi)
         self._encode_rate = jax.jit(self._encode_rate_targeted)
         self._decode = jax.jit(self._decode_stage)
         self._recon = jax.jit(self._recon_stage)
@@ -375,6 +376,75 @@ class FrameCodec:
             base_sp_delta=spd, base_sp_val=spv, base_nsig=nsig,
             base_sparse_ok=oksp)
 
+    def _encode_error_bounded_multi(self, data, target, qs):
+        """Evaluate K base-quantile candidates in ONE device call.
+
+        ``qs``: [K] candidate feasibility quantiles.  The base transform,
+        analysis, coarse plane scan and pure-base selection are computed
+        once and shared; each candidate adds only its fine truncation
+        scan and its residual layer.  Returns a list of K
+        :class:`EncodeResult` whose base-layer arrays are the SAME device
+        buffers (fetch them once).  This is the device side of the
+        one-dispatch rate optimiser (models/rate_opt.py) that replaces
+        the reference's sequential golden-section re-encodes
+        (image_compression.py:499-567).
+        """
+        mn, mx, const, dc, ci = self._base_transform(data)
+        an_b = bp.analyze(ci, self.base.spec)
+
+        def recon_b(rc):
+            return self._base_recon(rc, mn, mx, dc)
+
+        counts_b = bp.segment_counts(an_b, self.base.spec)
+        coarse = (bp.candidate_bits(counts_b, self.base.spec),
+                  *self._scan_planes(an_b, self.base, recon_b, data, target))
+        bits_pure, feas_pure, _, bs_pure, _ = self._search_truncation(
+            an_b, self.base, recon_b, data, target, jnp.float32(0.0),
+            coarse=coarse)
+
+        per_q = []
+        bs_min = bs_pure
+        for k in range(qs.shape[0]):
+            bits_q, _, maxd_q, bs_q, ks_q = self._search_truncation(
+                an_b, self.base, recon_b, data, target, qs[k], coarse=coarse)
+            base_rec = recon_b(self._recon_at(an_b, self.base, bs_q, ks_q))
+            resid = data - base_rec
+            skip_residual = maxd_q <= 0
+            rmin, rmax, dcr, cir = self._resid_transform(resid)
+            an_r = bp.analyze(cir, self.resid.spec)
+
+            def recon_r(rc, _b=base_rec, _rmin=rmin, _rmax=rmax, _dcr=dcr):
+                return _b + self._resid_recon(rc, _rmin, _rmax, _dcr)
+
+            resid_bits, resid_feas, _, bs_r, _ = self._search_truncation(
+                an_r, self.resid, recon_r, data, target, jnp.float32(0.0))
+            pr16, pr8, sr16, sr8, okr16, okr8 = self._pack_small(
+                cir, an_r.max_step,
+                jnp.where(skip_residual, self.resid.spec.nplanes, bs_r))
+            per_q.append(dict(
+                base_bits_q=bits_q, rmin=rmin, rmax=rmax, dc_r=dcr,
+                max_step_r=an_r.max_step,
+                resid_coef=cir.astype(jnp.float32), resid_bits=resid_bits,
+                resid_feasible=resid_feas, skip_residual=skip_residual,
+                resid_pack16=pr16, resid_pack8=pr8, resid_shift=sr16,
+                resid_shift8=sr8, resid_pack16_ok=okr16,
+                resid_pack8_ok=okr8))
+            bs_min = jnp.minimum(bs_min, bs_q)
+
+        # base transfer forms valid for EVERY candidate's truncation
+        pb16, pb8, sb16, sb8, okb16, okb8 = self._pack_small(
+            ci, an_b.max_step, bs_min)
+        spd, spv, nsig, oksp = self._sparsify(pb16, okb16)
+        shared = dict(
+            mn=mn, mx=mx, const=const, dc_b=dc, max_step_b=an_b.max_step,
+            base_coef=ci.astype(jnp.float32), base_bits_pure=bits_pure,
+            base_feasible_pure=feas_pure,
+            base_pack16=pb16, base_pack8=pb8, base_shift=sb16,
+            base_shift8=sb8, base_pack16_ok=okb16, base_pack8_ok=okb8,
+            base_sp_delta=spd, base_sp_val=spv, base_nsig=nsig,
+            base_sparse_ok=oksp)
+        return [EncodeResult(**shared, **pq) for pq in per_q]
+
     def _encode_rate_targeted(self, data, base_budget_bits, resid_budget_bits):
         """NONE / SPARSIFICATION_FACTOR encode: truncate at bit budgets.
 
@@ -479,6 +549,12 @@ class FrameCodec:
 
     def encode_error_bounded(self, data, target, qbase):
         return self._encode_eb(data, target, jnp.float32(qbase))
+
+    def encode_error_bounded_multi(self, data, target, qs):
+        """K quantile candidates in one jitted dispatch (see
+        :meth:`_encode_error_bounded_multi`)."""
+        return self._encode_eb_multi(data, target,
+                                     jnp.asarray(qs, jnp.float32))
 
     def encode_rate_targeted(self, data, base_budget_bits, resid_budget_bits):
         return self._encode_rate(data, base_budget_bits, resid_budget_bits)

@@ -48,16 +48,16 @@ class RateOptimizedCompressor:
 
     def compress(self, data, error_bound=None):
         data = np.asarray(data, np.float32)
-        best_blob, best_q = None, None
-        sizes = {}
-        for q in self.candidates:
-            # qbase is a traced scalar: no recompilation and no process-
-            # global state between candidates
-            blob = api.compress(data, self.config, error_bound=error_bound,
-                                qbase=q)
-            sizes[q] = len(blob)
-            if best_blob is None or len(blob) < len(best_blob):
-                best_blob, best_q = blob, q
+        # ONE device dispatch per batch evaluates every candidate: the
+        # base transform/analysis/scan and the packed base arena are
+        # shared, each candidate adds only its truncation choice and
+        # residual layer (api.compress_multi_q) — vs the reference's one
+        # full re-compression per golden-section probe
+        blobs = api.compress_multi_q(data, self.candidates, self.config,
+                                     error_bound=error_bound)
+        sizes = {q: len(b) for q, b in zip(self.candidates, blobs)}
+        best_q, best_blob = min(zip(self.candidates, blobs),
+                                key=lambda qb: len(qb[1]))
         info = {
             "best_quantile": best_q,
             "candidate_sizes": sizes,

@@ -101,3 +101,15 @@ def test_rate_optimizer(stack):
     assert np.max(np.abs(rec - stack[0])) <= 0.1
     assert info["candidate_sizes"][info["best_quantile"]] == len(blob)
     assert min(info["candidate_sizes"].values()) == len(blob)
+
+
+def test_multi_q_identical_to_per_q(stack):
+    """compress_multi_q (one dispatch for all candidates) must emit
+    blobs bit-identical to compressing each candidate separately."""
+    from ebcc_tpu import api
+    cfg = EBCCConfig(mode=ResidualMode.MAX_ERROR, error=0.1, base_cr=50,
+                     max_batch=1)
+    qs = (0.0, 1e-2)
+    blobs = api.compress_multi_q(stack[0], qs, cfg)
+    for q, b in zip(qs, blobs):
+        assert b == api.compress(stack[0], cfg, qbase=q)
