@@ -8,6 +8,7 @@ video-baseline.  Each has a TPU-native equivalent here.
 
 from .delta import DeltaCompressor
 from .direct import DirectCompressor
+from .forecast import (HAVE_FLAX, make_forecast_fn, train_forecaster)
 from .predictive import PredictiveCompressor, persistence_forecast
 from .rate_opt import RateOptimizedCompressor
 from .video import VideoArrayCompressor
@@ -18,6 +19,9 @@ __all__ = [
     "DeltaCompressor",
     "PredictiveCompressor",
     "persistence_forecast",
+    "train_forecaster",
+    "make_forecast_fn",
+    "HAVE_FLAX",
     "RateOptimizedCompressor",
     "VideoArrayCompressor",
     "video_available",

@@ -31,9 +31,13 @@ def main():
     p.add_argument("input", nargs="?", default=None,
                    help=".npy [T, H, W] time sequence; synthetic if absent")
     p.add_argument("--model", default="persistence",
-                   choices=["persistence", "linear"])
+                   choices=["persistence", "linear", "trained"],
+                   help="'trained' trains the in-repo flax ConvForecaster "
+                        "on the first half of the sequence "
+                        "(ebcc_tpu.models.forecast, the Aurora-role model)")
     p.add_argument("--model-module", default=None,
                    help="python module with forecast(history)")
+    p.add_argument("--train-steps", type=int, default=300)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--rel-bound", type=float, default=0.01)
     args = p.parse_args()
@@ -57,6 +61,14 @@ def main():
 
     if args.model_module:
         forecast = importlib.import_module(args.model_module).forecast
+    elif args.model == "trained":
+        from ebcc_tpu.models import forecast as fc
+        half = max(args.warmup + 1, len(seq) // 2)
+        params, meta = fc.train_forecaster(seq[:half], warmup=args.warmup,
+                                           steps=args.train_steps)
+        print(json.dumps({"trained": True, "frames": half,
+                          "final_loss": meta["final_loss"]}))
+        forecast = fc.make_forecast_fn(params, meta)
     else:
         forecast = {"persistence": persistence_forecast,
                     "linear": linear_forecast}[args.model]

@@ -140,7 +140,15 @@ class TestMultiFrame:
 @pytest.mark.slow
 class TestERA5FullFrame:
     def test_relative_error_canonical(self, era5_frame):
-        """The reference's canonical config (test.py): rel error 0.009."""
+        """The reference's canonical config (test.py): rel error 0.009.
+
+        Golden CR threshold: the repo's measured figure on the real ERA5
+        fixture is ~65x (BENCHMARKS.md) vs the reference's logged 57.6-62x;
+        >= 60x pins the claim so a rate regression fails CI (the old
+        `> 15` bar would have passed a 4x regression).  The synthetic
+        fallback fixture (no /root/reference data) compresses differently;
+        it keeps a looser floor.
+        """
         data = era5_frame[None]
         cfg = EBCCConfig(mode=ResidualMode.RELATIVE_ERROR, error=0.009,
                          base_cr=100, max_batch=1)
@@ -151,4 +159,20 @@ class TestERA5FullFrame:
         ratio = cr(data, blob)
         print(f"\nERA5 721x1440 rel-0.009: CR={ratio:.1f}x relerr={rel:.5f}")
         assert rel <= 0.009
-        assert ratio > 15
+        import os
+        real_fixture = os.path.exists("/root/reference/data/test_data.npy")
+        assert ratio >= (60 if real_fixture else 15)
+
+    def test_max_error_golden_cr(self, era5_frame):
+        """Golden CR at the bench config (max_error 0.5): measured ~106x
+        on the real fixture; >= 95x pins it against rate regressions."""
+        import os
+        data = era5_frame[None]
+        cfg = EBCCConfig(mode=ResidualMode.MAX_ERROR, error=0.5,
+                         base_cr=100, max_batch=1)
+        blob = ebcc_tpu.compress(data, cfg)
+        rec = ebcc_tpu.decompress(blob, cfg)
+        assert float(np.max(np.abs(rec - data))) <= 0.5
+        ratio = cr(data, blob)
+        real_fixture = os.path.exists("/root/reference/data/test_data.npy")
+        assert ratio >= (95 if real_fixture else 20)

@@ -113,3 +113,65 @@ def test_multi_q_identical_to_per_q(stack):
     blobs = api.compress_multi_q(stack[0], qs, cfg)
     for q, b in zip(qs, blobs):
         assert b == api.compress(stack[0], cfg, qbase=q)
+
+
+class TestLearnedForecaster:
+    """Predictive mode with an actually TRAINED model (the reference's
+    Aurora pipeline role, run_aurora.py:163-330)."""
+
+    @pytest.fixture(scope="class")
+    def advecting(self):
+        """Advecting high-frequency texture: the persistence residual is
+        full-spectrum and codes badly, while a small conv can learn the
+        3-pixel shift almost exactly — the regime where a learned
+        forecaster pays (the reference's Aurora premise)."""
+        h, w, t = 48, 64, 12
+        rng = np.random.default_rng(5)
+        texture = rng.normal(0, 2.0, (h, w)).astype(np.float32)
+        y, x = np.mgrid[0:h, 0:w]
+        base = (260 + 10 * np.sin(y / h * np.pi)).astype(np.float32)
+        frames = [base + np.roll(texture, 3 * k, axis=1)
+                  for k in range(t)]
+        return np.stack(frames).astype(np.float32)
+
+    def test_trained_model_predictive_compression(self, advecting):
+        from ebcc_tpu.models import forecast
+        if not forecast.HAVE_FLAX:
+            pytest.skip("flax unavailable")
+        train, test = advecting[:9], advecting
+        params, meta = forecast.train_forecaster(
+            train, warmup=2, features=8, steps=150, seed=0)
+        fn = forecast.make_forecast_fn(params, meta)
+        # the trained model must beat persistence on a held-out step
+        pred = fn([test[9], test[10]])
+        mse_model = float(np.mean((pred - test[11]) ** 2))
+        mse_persist = float(np.mean((test[10] - test[11]) ** 2))
+        assert mse_model < 0.5 * mse_persist, (mse_model, mse_persist)
+
+        cfg = EBCCConfig(mode=ResidualMode.POINTWISE_MAX_ERROR, base_cr=50,
+                         max_batch=1)
+        direct = DirectCompressor(config=cfg)
+        eb = np.full_like(test, 0.05)
+        pc_model = PredictiveCompressor(forecast_fn=fn, warmup=2,
+                                        direct=direct)
+        blob = pc_model.compress(test, eb)
+        rec = pc_model.decompress(blob)
+        assert np.all(np.abs(rec - test) <= eb)
+        # and the better forecasts must translate into a smaller stream
+        pc_persist = PredictiveCompressor(warmup=2, direct=direct)
+        blob_persist = pc_persist.compress(test, eb)
+        assert len(blob) < len(blob_persist), \
+            (len(blob), len(blob_persist))
+
+    def test_params_roundtrip(self, advecting):
+        from ebcc_tpu.models import forecast
+        if not forecast.HAVE_FLAX:
+            pytest.skip("flax unavailable")
+        params, meta = forecast.train_forecaster(
+            advecting[:6], warmup=2, features=4, steps=20, seed=1)
+        blob = forecast.save_params(params, meta)
+        params2, meta2 = forecast.load_params(blob, advecting.shape[1:])
+        fn1 = forecast.make_forecast_fn(params, meta)
+        fn2 = forecast.make_forecast_fn(params2, meta2)
+        h = [advecting[6], advecting[7]]
+        np.testing.assert_array_equal(fn1(h), fn2(h))
