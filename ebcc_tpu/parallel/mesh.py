@@ -35,12 +35,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def init_distributed():
-    """Multi-host initialisation (jax.distributed).  No-op when standalone."""
-    try:
-        import os
-        if "JAX_COORDINATOR_ADDRESS" in os.environ or \
-                "COORDINATOR_ADDRESS" in os.environ:
-            jax.distributed.initialize()
-    except Exception:  # pragma: no cover - best effort on odd clusters
-        pass
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Multi-host initialisation (jax.distributed).
+
+    The reference scales multi-node only as independent SLURM jobs
+    (scripts/launch_hdf5_compression_sweep.sbatch); here N hosts join one
+    JAX runtime and meshes span their devices (DCN between hosts, ICI
+    within).  Explicit arguments win; otherwise the standard coordinator
+    env vars are honoured.  Returns True when distributed mode was
+    initialised, False for a standalone run (no-op).  Initialisation
+    errors propagate — a half-joined cluster must fail loudly, not fall
+    back to silent single-host behaviour.
+    Exercised by tests/test_distributed.py on two local processes.
+    """
+    import os
+    if coordinator_address is None:
+        coordinator_address = (os.environ.get("JAX_COORDINATOR_ADDRESS") or
+                               os.environ.get("COORDINATOR_ADDRESS"))
+    if coordinator_address is None:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
