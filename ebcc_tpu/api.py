@@ -223,7 +223,8 @@ def compress(data, config: EBCCConfig | None = None, *,
 
 # fields of EncodeResult that differ per quantile candidate in
 # encode_error_bounded_multi (everything else is shared device buffers)
-_PER_Q_FIELDS = ("base_bits_q", "rmin", "rmax", "dc_r", "max_step_r",
+_PER_Q_FIELDS = ("base_bits_q", "bs_q", "ks_q", "bs_r", "ks_r",
+                 "rmin", "rmax", "dc_r", "max_step_r",
                  "resid_coef", "resid_bits", "resid_feasible",
                  "skip_residual", "resid_pack16", "resid_pack8",
                  "resid_shift", "resid_shift8", "resid_pack16_ok",

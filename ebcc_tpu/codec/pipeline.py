@@ -74,6 +74,16 @@ class EncodeResult(NamedTuple):
     base_bits_q: jax.Array      # truncation meeting the feasibility quantile
     base_bits_pure: jax.Array   # truncation meeting the bound everywhere
     base_feasible_pure: jax.Array  # bool: pure base meets bound everywhere
+    # chosen truncation points as (plane, fine-chunk) pairs [B] — the
+    # closed-form reconstruction at these points equals the decoded
+    # stream's (embedded-coder property), letting consumers reproduce the
+    # decoder's view without packing bits
+    bs_q: jax.Array
+    ks_q: jax.Array
+    bs_pure: jax.Array
+    ks_pure: jax.Array
+    bs_r: jax.Array
+    ks_r: jax.Array
     rmin: jax.Array
     rmax: jax.Array
     dc_r: jax.Array
@@ -131,6 +141,14 @@ class FrameCodec:
         self._recon_packed = jax.jit(self._recon_packed_stage)
 
     # ---------------- shared transform helpers ----------------
+    # _dwt/_idwt are override points: the spatially-sharded codec
+    # (parallel/spatial.py) swaps in the halo-exchange transform.
+
+    def _dwt(self, x, geom: LayerGeom):
+        return dwt.dwt2d_multi(x, geom.levels)
+
+    def _idwt(self, x, geom: LayerGeom):
+        return dwt.idwt2d_multi(x, geom.levels)
 
     def _base_transform(self, data):
         mn, mx = frame.minmax(data)
@@ -138,13 +156,13 @@ class FrameCodec:
         u = frame.scale_to_u16(data, mn, mx)
         up = frame.pad_symmetric(u, self.base.levels)
         upc, dc = frame.sub_dc_floor(up)
-        coef = dwt.dwt2d_multi(upc, self.base.levels)
+        coef = self._dwt(upc, self.base)
         ci = jnp.trunc(coef * self.wb).astype(jnp.int32)
         return mn, mx, const, dc, ci
 
     def _base_recon(self, rec_coef, mn, mx, dc):
         c = rec_coef / self.wb
-        rec = dwt.idwt2d_multi(c, self.base.levels) + dc[:, None, None]
+        rec = self._idwt(c, self.base) + dc[:, None, None]
         rec = jnp.clip(rec, 0.0, U16_MAX)
         rec = frame.crop(rec, self.h, self.w)
         return frame.unscale_from_u16(rec, mn, mx)
@@ -156,13 +174,13 @@ class FrameCodec:
         rp = frame.pad_symmetric(rn, self.resid.levels)
         rpc, dcr = frame.sub_dc_floor(rp)
         ci = jnp.trunc(
-            dwt.dwt2d_multi(rpc, self.resid.levels) * self.wr
+            self._dwt(rpc, self.resid) * self.wr
         ).astype(jnp.int32)
         return rmin, rmax, dcr, ci
 
     def _resid_recon(self, rec_coef, rmin, rmax, dcr):
         c = rec_coef / self.wr
-        rec = dwt.idwt2d_multi(c, self.resid.levels) + dcr[:, None, None]
+        rec = self._idwt(c, self.resid) + dcr[:, None, None]
         rec = jnp.clip(rec, 0.0, RESID_SCALE)
         rec = frame.crop(rec, self.h, self.w)
         rng = (rmax - rmin)[:, None, None]
@@ -333,7 +351,7 @@ class FrameCodec:
             an_b, self.base, recon_b, data, target, qbase, coarse=coarse)
         # pure fallback: same embedded stream, quantile target 1.0
         # (j2k_codec.h:668-695) — free here, it is just another prefix.
-        bits_pure, feas_pure, _, bs_pure, _ = self._search_truncation(
+        bits_pure, feas_pure, _, bs_pure, ks_pure = self._search_truncation(
             an_b, self.base, recon_b, data, target, jnp.float32(0.0),
             coarse=coarse)
 
@@ -347,7 +365,7 @@ class FrameCodec:
         def recon_r(rc):
             return base_rec + self._resid_recon(rc, rmin, rmax, dcr)
 
-        resid_bits, resid_feas, _, bs_r, _ = self._search_truncation(
+        resid_bits, resid_feas, _, bs_r, ks_r = self._search_truncation(
             an_r, self.resid, recon_r, data, target, jnp.float32(0.0))
 
         pb16, pb8, sb16, sb8, okb16, okb8 = self._pack_small(
@@ -364,6 +382,8 @@ class FrameCodec:
             mn=mn, mx=mx, const=const, dc_b=dc, max_step_b=an_b.max_step,
             base_coef=ci.astype(jnp.float32), base_bits_q=bits_q,
             base_bits_pure=bits_pure, base_feasible_pure=feas_pure,
+            bs_q=bs_q, ks_q=ks_q, bs_pure=bs_pure, ks_pure=ks_pure,
+            bs_r=bs_r, ks_r=ks_r,
             rmin=rmin, rmax=rmax, dc_r=dcr, max_step_r=an_r.max_step,
             resid_coef=cir.astype(jnp.float32), resid_bits=resid_bits,
             resid_feasible=resid_feas, skip_residual=skip_residual,
@@ -398,7 +418,7 @@ class FrameCodec:
         counts_b = bp.segment_counts(an_b, self.base.spec)
         coarse = (bp.candidate_bits(counts_b, self.base.spec),
                   *self._scan_planes(an_b, self.base, recon_b, data, target))
-        bits_pure, feas_pure, _, bs_pure, _ = self._search_truncation(
+        bits_pure, feas_pure, _, bs_pure, ks_pure = self._search_truncation(
             an_b, self.base, recon_b, data, target, jnp.float32(0.0),
             coarse=coarse)
 
@@ -416,13 +436,14 @@ class FrameCodec:
             def recon_r(rc, _b=base_rec, _rmin=rmin, _rmax=rmax, _dcr=dcr):
                 return _b + self._resid_recon(rc, _rmin, _rmax, _dcr)
 
-            resid_bits, resid_feas, _, bs_r, _ = self._search_truncation(
+            resid_bits, resid_feas, _, bs_r, ks_r = self._search_truncation(
                 an_r, self.resid, recon_r, data, target, jnp.float32(0.0))
             pr16, pr8, sr16, sr8, okr16, okr8 = self._pack_small(
                 cir, an_r.max_step,
                 jnp.where(skip_residual, self.resid.spec.nplanes, bs_r))
             per_q.append(dict(
-                base_bits_q=bits_q, rmin=rmin, rmax=rmax, dc_r=dcr,
+                base_bits_q=bits_q, bs_q=bs_q, ks_q=ks_q, bs_r=bs_r,
+                ks_r=ks_r, rmin=rmin, rmax=rmax, dc_r=dcr,
                 max_step_r=an_r.max_step,
                 resid_coef=cir.astype(jnp.float32), resid_bits=resid_bits,
                 resid_feasible=resid_feas, skip_residual=skip_residual,
@@ -438,7 +459,7 @@ class FrameCodec:
         shared = dict(
             mn=mn, mx=mx, const=const, dc_b=dc, max_step_b=an_b.max_step,
             base_coef=ci.astype(jnp.float32), base_bits_pure=bits_pure,
-            base_feasible_pure=feas_pure,
+            base_feasible_pure=feas_pure, bs_pure=bs_pure, ks_pure=ks_pure,
             base_pack16=pb16, base_pack8=pb8, base_shift=sb16,
             base_shift8=sb8, base_pack16_ok=okb16, base_pack8_ok=okb8,
             base_sp_delta=spd, base_sp_val=spv, base_nsig=nsig,
@@ -478,6 +499,7 @@ class FrameCodec:
         use_resid = resid_budget_bits > 0
         nk_r = 2 * self.resid.spec.nchunks
         bs_r = self.resid.spec.nplanes - 1 - idx_r // nk_r
+        ks_r = idx_r % nk_r
 
         pb16, pb8, sb16, sb8, okb16, okb8 = self._pack_small(
             ci, an_b.max_step, bs)
@@ -490,6 +512,7 @@ class FrameCodec:
             mn=mn, mx=mx, const=const, dc_b=dc, max_step_b=an_b.max_step,
             base_coef=ci.astype(jnp.float32), base_bits_q=bits_b,
             base_bits_pure=bits_b, base_feasible_pure=jnp.zeros_like(const),
+            bs_q=bs, ks_q=ks, bs_pure=bs, ks_pure=ks, bs_r=bs_r, ks_r=ks_r,
             rmin=rmin, rmax=rmax, dc_r=dcr, max_step_r=an_r.max_step,
             resid_coef=cir.astype(jnp.float32),
             resid_bits=jnp.where(use_resid, bits_r, 0),

@@ -53,36 +53,81 @@ class DirectCompressor:
             pointwise_max_error_ratio=ratio)
 
     # -- patch encoding (direct_wrapper.py:85-100) --------------------------
+    # Like the reference's stack-B failure coding (image_compression.py:
+    # 138-276 tries 7 encodings and keeps the smallest), the index set is
+    # encoded several ways and the smallest wins:
+    #   0  i64 indices            (kept for decoding old blobs)
+    #   1  bitmask over npoints
+    #   2  varint position deltas (vbyte, the typical winner when sparse)
+    #   3  u32 indices
+    # Values are always exact f32; the chosen payload is zstd-packed.
 
     @staticmethod
-    def _encode_patch(fail_idx: np.ndarray, values: np.ndarray,
+    def _varint_encode(arr: np.ndarray) -> bytes:
+        out = bytearray()
+        for v in arr.tolist():
+            while True:
+                b = v & 0x7F
+                v >>= 7
+                if v:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    break
+        return bytes(out)
+
+    @staticmethod
+    def _varint_decode(buf: bytes, count: int) -> np.ndarray:
+        out = np.empty(count, np.int64)
+        pos = 0
+        for i in range(count):
+            shift = 0
+            v = 0
+            while True:
+                b = buf[pos]
+                pos += 1
+                v |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            out[i] = v
+        return out
+
+    @classmethod
+    def _encode_patch(cls, fail_idx: np.ndarray, values: np.ndarray,
                       npoints: int) -> bytes:
-        """Encode violating points: bitmask or index list, whichever is
-        smaller, + exact fp32 values."""
-        idx_bytes = fail_idx.astype(np.int64).tobytes()
+        fail_idx = np.asarray(fail_idx, np.int64)
         mask = np.zeros(npoints, bool)
         mask[fail_idx] = True
-        mask_bytes = np.packbits(mask).tobytes()
-        use_mask = len(mask_bytes) < len(idx_bytes)
-        payload = (mask_bytes if use_mask else idx_bytes) + \
-            values.astype(np.float32).tobytes()
-        blob = _pack(payload)
-        return struct.pack("<BII", 1 if use_mask else 0, len(fail_idx),
-                           len(blob)) + blob
+        deltas = np.diff(fail_idx, prepend=0) if len(fail_idx) else fail_idx
+        candidates = {
+            1: np.packbits(mask).tobytes(),
+            2: cls._varint_encode(deltas),
+            3: fail_idx.astype(np.uint32).tobytes(),
+        }
+        method, enc = min(candidates.items(), key=lambda kv: len(kv[1]))
+        blob = _pack(enc + values.astype(np.float32).tobytes())
+        return struct.pack("<BII", method, len(fail_idx), len(blob)) + blob
 
-    @staticmethod
-    def _decode_patch(buf: bytes, off: int, npoints: int):
-        use_mask, nfail, blen = struct.unpack_from("<BII", buf, off)
+    @classmethod
+    def _decode_patch(cls, buf: bytes, off: int, npoints: int):
+        method, nfail, blen = struct.unpack_from("<BII", buf, off)
         off += struct.calcsize("<BII")
-        raw_len = (npoints + 7) // 8 if use_mask else 8 * nfail
-        payload = _unpack(buf[off:off + blen], raw_len + 4 * nfail)
+        max_raw = {0: 8 * nfail, 1: (npoints + 7) // 8,
+                   2: 9 * nfail, 3: 4 * nfail}[method]
+        payload = _unpack(buf[off:off + blen], max_raw + 4 * nfail)
         off += blen
-        if use_mask:
-            mask = np.unpackbits(
-                np.frombuffer(payload[:raw_len], np.uint8))[:npoints]
-            idx = np.nonzero(mask)[0]
-        else:
+        raw_len = len(payload) - 4 * nfail
+        if method == 0:
             idx = np.frombuffer(payload[:raw_len], np.int64)
+        elif method == 1:
+            bits = np.unpackbits(
+                np.frombuffer(payload[:raw_len], np.uint8))[:npoints]
+            idx = np.nonzero(bits)[0]
+        elif method == 2:
+            idx = np.cumsum(cls._varint_decode(payload[:raw_len], nfail))
+        else:
+            idx = np.frombuffer(payload[:raw_len], np.uint32).astype(np.int64)
         vals = np.frombuffer(payload[raw_len:raw_len + 4 * nfail], np.float32)
         return idx, vals, off
 
