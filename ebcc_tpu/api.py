@@ -296,27 +296,26 @@ def compress_multi_q(data, qs, config: EBCCConfig | None = None, *,
             target = np.full(bsz, config.error, np.float32)
         res_list = codec.encode_error_bounded_multi(batch, target, qs)
         rd0 = res_list[0]._asdict()
-        # shared (base-layer) fields: fetched once
-        shared = jax.device_get(
+        # ONE host sync fetches the shared base-layer fields and every
+        # candidate's small per-q fields together (each synchronous fetch
+        # costs a full link round trip on tunnelled hosts)
+        shared, perq_all = jax.device_get((
             {k: v for k, v in rd0.items()
-             if k not in _DEFERRED_FIELDS and k not in _PER_Q_FIELDS})
+             if k not in _DEFERRED_FIELDS and k not in _PER_Q_FIELDS},
+            [{f: r._asdict()[f] for f in _PER_Q_FIELDS
+              if f not in _DEFERRED_FIELDS} for r in res_list]))
         # one base arena serves every candidate's truncation (embedded
         # streams: all candidate rates are prefixes)
-        bits_q_all = jax.device_get(
-            [r.base_bits_q for r in res_list])
-        trunc_b = np.maximum.reduce(bits_q_all).astype(np.int64)
+        trunc_b = np.maximum.reduce(
+            [pq["base_bits_q"] for pq in perq_all]).astype(np.int64)
         trunc_b = np.maximum(trunc_b,
                              shared["base_bits_pure"]).astype(np.int64)
-        res_b = dict(shared, base_bits_q=bits_q_all[0])
+        res_b = dict(shared, base_bits_q=perq_all[0]["base_bits_q"])
         base_stream = _pack_layer_streams(res_b, codec, rd0, "base",
                                           trunc_b)
         for k, res in enumerate(res_list):
             rd = res._asdict()
-            perq = jax.device_get(
-                {f: rd[f] for f in _PER_Q_FIELDS
-                 if f not in _DEFERRED_FIELDS})
-            perq["base_bits_q"] = bits_q_all[k]
-            resn = dict(shared, **perq)
+            resn = dict(shared, **perq_all[k])
             trunc_r = np.where(resn["skip_residual"], 0,
                                resn["resid_bits"]).astype(np.int64)
             resid_stream = _pack_layer_streams(resn, codec, rd, "resid",

@@ -12,6 +12,15 @@ import enum
 import os
 
 
+# hard ceiling on DWT levels, uniform across every implementation: the
+# native encoder clamps to it and the hardened decoders (native plugin,
+# runtime/cpu_decoder.py) reject streams beyond it, so the JAX path must
+# never emit deeper transforms either.  8 levels cover frames up to
+# 512-pixel minimum dimension at full depth; deeper buys nothing (the
+# codec defaults to 5).
+MAX_LEVELS = 8
+
+
 class ResidualMode(enum.IntEnum):
     """Residual compression modes (j2k_codec.h:168-175)."""
 
@@ -70,6 +79,10 @@ class EBCCConfig:
         if self.mode == ResidualMode.QUANTILE:
             raise ValueError("QUANTILE mode is deprecated "
                              "(reference: j2k_codec.h:554-555)")
+        if self.base_levels > MAX_LEVELS or self.residual_levels > MAX_LEVELS:
+            raise ValueError(
+                f"DWT levels are capped at {MAX_LEVELS} (format limit: "
+                "decoders reject deeper streams)")
 
 
 def base_error_quantile(default: float = 1e-6) -> float:

@@ -30,8 +30,14 @@ _RES = struct.Struct("<fffBIQ")                # residual part
 # The coder-geometry fields make frames self-describing: the bitstream
 # layout depends on them, so a decoder must not rely on its own config
 # defaults matching the encoder's.
+#
+# Version history: 2 = round-1 streams (unquantised synthesis-peak
+# weights); 3 = weight tables quantised to the 1/1024 grid
+# (docs/FORMAT.md) — the weights are part of the stream semantics, so
+# decoding a v2 stream with v3 weights would silently shift the
+# reconstruction; the version byte rejects the mix instead.
 
-VERSION = 2
+VERSION = 3
 
 
 class FrameHeader(NamedTuple):

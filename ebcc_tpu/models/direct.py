@@ -64,34 +64,44 @@ class DirectCompressor:
 
     @staticmethod
     def _varint_encode(arr: np.ndarray) -> bytes:
-        out = bytearray()
-        for v in arr.tolist():
-            while True:
-                b = v & 0x7F
-                v >>= 7
-                if v:
-                    out.append(b | 0x80)
-                else:
-                    out.append(b)
-                    break
-        return bytes(out)
+        """Vectorised vbyte: per-value byte lengths via shift passes, then
+        one masked scatter per byte position (no Python-per-value loop)."""
+        v = np.asarray(arr, np.uint64)
+        n = len(v)
+        if n == 0:
+            return b""
+        bl = np.ones(n, np.int64)
+        tmp = v >> np.uint64(7)
+        while tmp.any():
+            bl += tmp > 0
+            tmp >>= np.uint64(7)
+        ends = np.cumsum(bl)
+        starts = ends - bl
+        out = np.zeros(int(ends[-1]), np.uint8)
+        for k in range(int(bl.max())):
+            sel = bl > k
+            byte = ((v[sel] >> np.uint64(7 * k)) &
+                    np.uint64(0x7F)).astype(np.uint8)
+            cont = (bl[sel] - 1 > k).astype(np.uint8) << 7
+            out[starts[sel] + k] = byte | cont
+        return out.tobytes()
 
     @staticmethod
     def _varint_decode(buf: bytes, count: int) -> np.ndarray:
-        out = np.empty(count, np.int64)
-        pos = 0
-        for i in range(count):
-            shift = 0
-            v = 0
-            while True:
-                b = buf[pos]
-                pos += 1
-                v |= (b & 0x7F) << shift
-                if not b & 0x80:
-                    break
-                shift += 7
-            out[i] = v
-        return out
+        if count == 0:
+            return np.zeros(0, np.int64)
+        b = np.frombuffer(buf, np.uint8)
+        ends = np.nonzero((b & 0x80) == 0)[0]
+        if len(ends) < count:
+            raise ValueError("truncated varint patch stream")
+        ends = ends[:count]
+        starts = np.concatenate([[0], ends[:-1] + 1])
+        out = np.zeros(count, np.uint64)
+        for k in range(int((ends - starts).max()) + 1):
+            sel = starts + k <= ends
+            out[sel] |= ((b[starts[sel] + k].astype(np.uint64) &
+                          np.uint64(0x7F)) << np.uint64(7 * k))
+        return out.astype(np.int64)
 
     @classmethod
     def _encode_patch(cls, fail_idx: np.ndarray, values: np.ndarray,
@@ -103,8 +113,9 @@ class DirectCompressor:
         candidates = {
             1: np.packbits(mask).tobytes(),
             2: cls._varint_encode(deltas),
-            3: fail_idx.astype(np.uint32).tobytes(),
         }
+        if npoints <= 1 << 32:  # u32 indices would wrap beyond this
+            candidates[3] = fail_idx.astype(np.uint32).tobytes()
         method, enc = min(candidates.items(), key=lambda kv: len(kv[1]))
         blob = _pack(enc + values.astype(np.float32).tobytes())
         return struct.pack("<BII", method, len(fail_idx), len(blob)) + blob

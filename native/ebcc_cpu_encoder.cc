@@ -13,17 +13,22 @@
 //   (coarse per-plane scan + fine per-chunk scan, feasibility quantile +
 //   pure-base fallback, j2k_codec.h:562-695 semantics) -> residual layer ->
 //   native bitplane packing (ebcc_coder.cc) -> zstd -> container
-//   (codec/container.py v2 layout).
+//   (codec/container.py v3 layout).
 //
 // The search evaluates real reconstructions (inverse transform per
 // candidate), exactly like the device path; with early exit it costs
 // ~15-40 inverse DWTs per frame — the same order as the reference's
 // ~6-9 J2K re-encodes + ~15 SPIHT decodes per frame.
 //
-// Numerical note: float32 lifting here can differ from XLA's by last-ulp
-// rounding, so a truncation choice may occasionally differ from the TPU
-// path near feasibility boundaries; both choices satisfy the bound by
-// construction (each side validates against its own reconstruction).
+// XLA-parity arithmetic (load-bearing for the byte-identity guarantee,
+// tests/test_cpu_encoder.py): every lifting step uses std::fma exactly
+// where XLA contracts a multiply-add, constant divisions are reciprocal
+// multiplies, and the unscale is the reassociated fma(y, recip*rng, mn).
+// Error-bounded encodes are byte-identical to api.compress on the CPU
+// backend; rate-targeted modes agree structurally but can differ in the
+// residual stream (it embeds raw reconstruction values, and LLVM's FMA
+// choices inside XLA's fused inverse-lifting kernels are not replicable
+// op-by-op).
 
 #include <zstd.h>
 
@@ -52,13 +57,13 @@ constexpr float DELTA = 0.44355068522f;
 constexpr float XI = 1.149604398f;
 constexpr float U16_MAX = 65535.0f;
 constexpr float RESID_SCALE = 255.0f;
+constexpr size_t MIN_RESID_BYTES = 16;  // j2k_codec.h:653 semantics
 // XLA strength-reduces division by a compile-time constant into a multiply
 // by the f32-rounded reciprocal; match it exactly (verified op-by-op
 // against jitted XLA CPU kernels)
 constexpr float RECIP_XI = (float)(1.0 / (double)XI);
 constexpr float RECIP_U16 = (float)(1.0 / (double)U16_MAX);
 constexpr float RECIP_RS = (float)(1.0 / (double)RESID_SCALE);
-constexpr size_t MIN_RESID_BYTES = 16;  // j2k_codec.h:653 semantics
 
 // residual-mode enum (codec/config.py, j2k_codec.h:168-175)
 enum { MODE_NONE = 0, MODE_SPARS = 1, MODE_MAX_ERR = 2, MODE_REL_ERR = 3,
@@ -153,6 +158,18 @@ float dc_floor_mean(const float* x, size_t n) {
   return std::floor((float)(s / (double)n));
 }
 
+// u16 scaling, trunc toward zero (frame.py scale_to_u16 /
+// j2k_codec.h:523-526)
+std::vector<float> scale_u16(const float* data, size_t n, float mn,
+                             float rng) {
+  std::vector<float> u(n);
+  for (size_t i = 0; i < n; ++i) {
+    float y = (data[i] - mn) / rng * U16_MAX;
+    u[i] = truncf(std::min(std::max(y, 0.0f), U16_MAX));
+  }
+  return u;
+}
+
 int msb_of(uint32_t v) { return v ? 31 - __builtin_clz(v) : -1; }
 
 // ---- per-layer encoder state ----
@@ -177,6 +194,17 @@ struct LayerEnc {
 
   int stripe(int r) const { return (int)(((int64_t)r * J) / h); }
 
+  void init(int h_orig, int w_orig, int lv, int nplanes, int nchunks) {
+    levels = lv;
+    g = lv + 1;
+    P = nplanes;
+    J = nchunks;
+    h = padded(h_orig, lv);
+    w = padded(w_orig, lv);
+    wplane.resize((size_t)h * w);
+    ebcc_cpu_weight_plane(h, w, lv, wplane.data());
+  }
+
   // transform + quantize: padded data-domain plane (DC already removed) ->
   // weighted int coefficients; builds the analysis pyramid + count tables
   void analyze(std::vector<float>&& plane) {
@@ -187,7 +215,7 @@ struct LayerEnc {
     neg.resize(n);
     msb.resize(n);
     for (size_t i = 0; i < n; ++i) {
-      // jnp.trunc(coef * w) in float32, then int32 (pipeline.py:141)
+      // jnp.trunc(coef * w) in float32, then int32 (pipeline.py)
       float v = truncf(plane[i] * wplane[i]);
       int32_t iv = (int32_t)v;
       ci[i] = iv;
@@ -219,6 +247,17 @@ struct LayerEnc {
     for (size_t i = 0; i < n; ++i) gm = std::max(gm, msb[i]);
     max_step = std::max((int)gm, 0);
     build_counts();
+  }
+
+  // pad + DC-remove + transform + analyze an [h_orig, w_orig] field;
+  // returns the DC offset
+  float transform(const float* field, int h_orig, int w_orig) {
+    std::vector<float> plane((size_t)h * w);
+    pad_symmetric(field, h_orig, w_orig, h, w, plane.data());
+    float dc = dc_floor_mean(plane.data(), plane.size());
+    for (auto& v : plane) v -= dc;
+    analyze(std::move(plane));
+    return dc;
   }
 
   // segment order per plane (ops/bitplane.py segment_counts): group levels
@@ -353,8 +392,49 @@ void layer_recon(const LayerEnc& L, const float* coef, float dc,
     plane[i] = std::min(std::max(plane[i] + dc, 0.0f), clamp_hi);
 }
 
+// base reconstruction in the DATA domain at a chosen fine truncation
+// (pipeline.py _recon_at + _base_recon; unscale is the reassociated
+// fma(y, recip * rng, mn) exactly as XLA compiles it)
+void base_rec_at(const LayerEnc& base, int bstar, int kstar, float dc,
+                 float mn, float unscale_c, int h, int w, float* coef_buf,
+                 float* rec_buf, float* out) {
+  int js = kstar < base.J ? kstar + 1 : base.J;
+  int jr = kstar < base.J ? 0 : kstar - base.J + 1;
+  base.recon_coef(bstar, js, jr, true, coef_buf);
+  layer_recon(base, coef_buf, dc, U16_MAX, rec_buf);
+  for (int r = 0; r < h; ++r)
+    for (int c = 0; c < w; ++c)
+      out[(size_t)r * w + c] =
+          std::fma(rec_buf[(size_t)r * base.w + c], unscale_c, mn);
+}
+
+// residual field -> normalised, transformed layer
+// (pipeline.py _resid_transform); returns (rmin, rmax, dc_r)
+struct ResidSetup {
+  float rmn, rmx, dc_r;
+};
+
+ResidSetup make_resid_layer(LayerEnc& resid, const float* data,
+                            const float* base_rec, int h, int w, int levels,
+                            int nplanes, int nchunks) {
+  size_t n = (size_t)h * w;
+  std::vector<float> rs(n);
+  for (size_t i = 0; i < n; ++i) rs[i] = data[i] - base_rec[i];
+  float rmn = rs[0], rmx = rs[0];
+  for (size_t i = 0; i < n; ++i) {
+    rmn = std::min(rmn, rs[i]);
+    rmx = std::max(rmx, rs[i]);
+  }
+  float rrng = rmx > rmn ? rmx - rmn : 1.0f;
+  for (size_t i = 0; i < n; ++i)
+    rs[i] = (rs[i] - rmn) / rrng * RESID_SCALE;
+  resid.init(h, w, levels, nplanes, nchunks);
+  float dc = resid.transform(rs.data(), h, w);
+  return {rmn, rmx, dc};
+}
+
 struct ErrStats {
-  float maxd;  // max over points of |err| - target
+  float maxd;   // max over points of |err| - target
   double viol;  // fraction of points violating
 };
 
@@ -426,7 +506,7 @@ void search_truncation(const LayerEnc& L, float qallow, EvalFn&& eval,
   }
 }
 
-// ---- container serialization (codec/container.py v2 layout) ----
+// ---- container serialization (codec/container.py v3 layout) ----
 
 struct Blob {
   std::vector<uint8_t> b;
@@ -451,7 +531,7 @@ void pack_header(Blob& o, unsigned flags, uint16_t mode, uint32_t h,
                  uint32_t w, float mn, float mx, float dc_b,
                  uint32_t base_nbits, uint8_t max_step_b, const Geom& g) {
   o.raw("EBT1", 4);
-  o.le<uint8_t>(2);  // version
+  o.le<uint8_t>(3);  // version (3 = quantised weight tables)
   o.le<uint8_t>((uint8_t)flags);
   o.le<uint16_t>(mode);
   o.le<uint32_t>(h);
@@ -495,7 +575,8 @@ std::vector<uint8_t> pack_variant(uint16_t mode, int h, int w, float mn,
   std::vector<uint8_t> z =
       zstd_pack(base_arena, nbytes, std::min(zstd_level, 10));
   bool base_z = !z.empty() && z.size() < nbytes;
-  unsigned flags = (pointwise ? FLAG_POINTWISE : 0) | (base_z ? FLAG_BASE_Z : 0);
+  unsigned flags = (pointwise ? FLAG_POINTWISE : 0) |
+                   (base_z ? FLAG_BASE_Z : 0);
   if (rp && rp->present) flags |= FLAG_RESID;
   Blob o;
   pack_header(o, flags, mode, h, w, mn, mx, dc_b, (uint32_t)bits, max_step_b,
@@ -534,28 +615,17 @@ extern "C" {
 // out must hold padded(h)*padded(w) int32.  Returns the DC offset.
 float ebcc_cpu_debug_base_coef(const float* data, int h, int w, int levels,
                                int32_t* out) {
-  int hp = padded(h, levels), wp = padded(w, levels);
   const size_t n = (size_t)h * w;
   float mn = data[0], mx = data[0];
   for (size_t i = 0; i < n; ++i) {
     mn = std::min(mn, data[i]);
     mx = std::max(mx, data[i]);
   }
-  float rng = mx - mn;
-  std::vector<float> u16(n);
-  for (size_t i = 0; i < n; ++i) {
-    float y = (data[i] - mn) / rng * U16_MAX;
-    u16[i] = truncf(std::min(std::max(y, 0.0f), U16_MAX));
-  }
-  std::vector<float> plane((size_t)hp * wp);
-  pad_symmetric(u16.data(), h, w, hp, wp, plane.data());
-  float dc = dc_floor_mean(plane.data(), plane.size());
-  for (auto& v : plane) v -= dc;
-  fdwt2d_multi(plane.data(), hp, wp, levels);
-  std::vector<float> wpl((size_t)hp * wp);
-  ebcc_cpu_weight_plane(hp, wp, levels, wpl.data());
-  for (size_t i = 0; i < plane.size(); ++i)
-    out[i] = (int32_t)truncf(plane[i] * wpl[i]);
+  std::vector<float> u16 = scale_u16(data, n, mn, mx - mn);
+  LayerEnc base;
+  base.init(h, w, levels, 30, 8);
+  float dc = base.transform(u16.data(), h, w);
+  memcpy(out, base.ci.data(), base.ci.size() * sizeof(int32_t));
   return dc;
 }
 
@@ -564,15 +634,6 @@ float ebcc_cpu_debug_base_coef(const float* data, int h, int w, int levels,
 void ebcc_cpu_debug_base_rec(const float* data, int h, int w, int levels,
                              int nplanes, int nchunks, int b, int js, int jr,
                              int fine, float* out) {
-  LayerEnc base;
-  base.levels = levels;
-  base.g = levels + 1;
-  base.P = nplanes;
-  base.J = nchunks;
-  base.h = padded(h, levels);
-  base.w = padded(w, levels);
-  base.wplane.resize((size_t)base.h * base.w);
-  ebcc_cpu_weight_plane(base.h, base.w, levels, base.wplane.data());
   const size_t n = (size_t)h * w;
   float mn = data[0], mx = data[0];
   for (size_t i = 0; i < n; ++i) {
@@ -580,16 +641,10 @@ void ebcc_cpu_debug_base_rec(const float* data, int h, int w, int levels,
     mx = std::max(mx, data[i]);
   }
   float rng = mx - mn;
-  std::vector<float> u16(n);
-  for (size_t i = 0; i < n; ++i) {
-    float y = (data[i] - mn) / rng * U16_MAX;
-    u16[i] = truncf(std::min(std::max(y, 0.0f), U16_MAX));
-  }
-  std::vector<float> plane((size_t)base.h * base.w);
-  pad_symmetric(u16.data(), h, w, base.h, base.w, plane.data());
-  float dc = dc_floor_mean(plane.data(), plane.size());
-  for (auto& v : plane) v -= dc;
-  base.analyze(std::move(plane));
+  std::vector<float> u16 = scale_u16(data, n, mn, rng);
+  LayerEnc base;
+  base.init(h, w, levels, nplanes, nchunks);
+  float dc = base.transform(u16.data(), h, w);
   std::vector<float> coef((size_t)base.h * base.w);
   std::vector<float> rec((size_t)base.h * base.w);
   base.recon_coef(b, js, jr, fine != 0, coef.data());
@@ -600,7 +655,7 @@ void ebcc_cpu_debug_base_rec(const float* data, int h, int w, int levels,
       out[(size_t)r * w + c] = std::fma(rec[(size_t)r * base.w + c], uc, mn);
 }
 
-// Encode ONE [h, w] float32 frame into a container (docs/FORMAT.md v2).
+// Encode ONE [h, w] float32 frame into a container (docs/FORMAT.md v3).
 //
 // mode/error/base_cr/residual_cr: codec config (codec/config.py).
 // target: per-point error targets [h, w] for POINTWISE mode (already scaled
@@ -620,8 +675,10 @@ int64_t ebcc_cpu_encode_frame(
       resid_nplanes < 1 || resid_nplanes > 30)
     return -1;
   if (mode == MODE_POINTWISE && target_pw == nullptr) return -1;
-  // levels clamp (api.compress): L levels need 2**(L+1) < min(h, w)
-  int max_lv = std::max(0, 32 - __builtin_clz((unsigned)(std::min(h, w) - 1)) - 2);
+  // levels clamp (api.compress semantics: max_lv from the frame geometry,
+  // and the format-wide MAX_LEVELS = 8 cap shared with the decoders)
+  int max_lv =
+      std::max(0, 32 - __builtin_clz((unsigned)(std::min(h, w) - 1)) - 2);
   base_levels = std::min(std::max(base_levels, 0), std::min(max_lv, 8));
   resid_levels = std::min(std::max(resid_levels, 0), std::min(max_lv, 8));
 
@@ -649,36 +706,26 @@ int64_t ebcc_cpu_encode_frame(
   }
 
   // ---- base layer transform ----
-  LayerEnc base;
-  base.levels = base_levels;
-  base.g = base_levels + 1;
-  base.P = base_nplanes;
-  base.J = nchunks;
-  base.h = padded(h, base_levels);
-  base.w = padded(w, base_levels);
-  base.wplane.resize((size_t)base.h * base.w);
-  ebcc_cpu_weight_plane(base.h, base.w, base_levels, base.wplane.data());
-
   float rng = mx - mn;
-  std::vector<float> u16(n);
-  for (size_t i = 0; i < n; ++i) {
-    float y = (data[i] - mn) / rng * U16_MAX;
-    u16[i] = truncf(std::min(std::max(y, 0.0f), U16_MAX));
-  }
-  std::vector<float> plane((size_t)base.h * base.w);
-  pad_symmetric(u16.data(), h, w, base.h, base.w, plane.data());
-  float dc_b = dc_floor_mean(plane.data(), plane.size());
-  for (auto& v : plane) v -= dc_b;
-  base.analyze(std::move(plane));
+  std::vector<float> u16 = scale_u16(data, n, mn, rng);
+  LayerEnc base;
+  base.init(h, w, base_levels, base_nplanes, nchunks);
+  float dc_b = base.transform(u16.data(), h, w);
+  u16.clear();
+  u16.shrink_to_fit();
   if (base.max_step > base.P - 1) return -3;
 
   // scratch buffers for candidate evaluation
   std::vector<float> coef_buf((size_t)base.h * base.w);
   std::vector<float> rec_buf((size_t)base.h * base.w);
 
-  // data-domain base recon at a truncation (crop + unscale inline)
-  // y / 65535 * rng + mn, reassociated + fused the way XLA compiles it:
-  // fma(y, recip * rng, mn)
+  // per-point target (pointwise) or scalar target
+  auto target_at = [&](size_t i) -> float {
+    return pointwise ? target_pw[i]
+                     : (mode == MODE_REL_ERR ? error * rng : error);
+  };
+
+  // y / 65535 * rng + mn, reassociated + fused the way XLA compiles it
   const float unscale_c = RECIP_U16 * rng;
   auto base_eval = [&](int b, int js, int jr, bool fine) -> ErrStats {
     base.recon_coef(b, js, jr, fine, coef_buf.data());
@@ -687,10 +734,9 @@ int64_t ebcc_cpu_encode_frame(
     size_t nv = 0;
     for (int r = 0; r < h; ++r)
       for (int c = 0; c < w; ++c) {
+        size_t i = (size_t)r * w + c;
         float rec = std::fma(rec_buf[(size_t)r * base.w + c], unscale_c, mn);
-        float tgt = pointwise ? target_pw[(size_t)r * w + c]
-                              : (mode == MODE_REL_ERR ? error * rng : error);
-        float e = std::fabs(data[(size_t)r * w + c] - rec) - tgt;
+        float e = std::fabs(data[i] - rec) - target_at(i);
         maxd = std::max(maxd, e);
         if (e > 0.0f) ++nv;
       }
@@ -704,7 +750,7 @@ int64_t ebcc_cpu_encode_frame(
                        mode == MODE_POINTWISE;
 
   LayerEnc resid;
-  float rmn = 0, rmx = 0, dc_r = 0;
+  ResidSetup rset{0, 0, 0};
   std::vector<float> base_rec;  // [h, w] data-domain chosen reconstruction
 
   if (error_bounded) {
@@ -714,61 +760,27 @@ int64_t ebcc_cpu_encode_frame(
     feasible_pure = pure.feasible;
     skip_residual = q.maxd <= 0.0f;  // "Skip Residual" (j2k_codec.h:584)
 
-    // chosen base reconstruction -> residual
-    int js = q.kstar < base.J ? q.kstar + 1 : base.J;
-    int jr = q.kstar < base.J ? 0 : q.kstar - base.J + 1;
-    base.recon_coef(q.bstar, js, jr, true, coef_buf.data());
-    layer_recon(base, coef_buf.data(), dc_b, U16_MAX, rec_buf.data());
     base_rec.resize(n);
-    for (int r = 0; r < h; ++r)
-      for (int c = 0; c < w; ++c)
-        base_rec[(size_t)r * w + c] =
-            std::fma(rec_buf[(size_t)r * base.w + c], unscale_c, mn);
-
-    // ---- residual layer (pipeline.py _resid_transform) ----
-    std::vector<float> rs(n);
-    for (size_t i = 0; i < n; ++i) rs[i] = data[i] - base_rec[i];
-    rmn = rs[0];
-    rmx = rs[0];
-    for (size_t i = 0; i < n; ++i) {
-      rmn = std::min(rmn, rs[i]);
-      rmx = std::max(rmx, rs[i]);
-    }
-    float rrng = rmx > rmn ? rmx - rmn : 1.0f;
-    for (size_t i = 0; i < n; ++i)
-      rs[i] = (rs[i] - rmn) / rrng * RESID_SCALE;
-
-    resid.levels = resid_levels;
-    resid.g = resid_levels + 1;
-    resid.P = resid_nplanes;
-    resid.J = nchunks;
-    resid.h = padded(h, resid_levels);
-    resid.w = padded(w, resid_levels);
-    resid.wplane.resize((size_t)resid.h * resid.w);
-    ebcc_cpu_weight_plane(resid.h, resid.w, resid_levels,
-                          resid.wplane.data());
-    std::vector<float> rplane((size_t)resid.h * resid.w);
-    pad_symmetric(rs.data(), h, w, resid.h, resid.w, rplane.data());
-    dc_r = dc_floor_mean(rplane.data(), rplane.size());
-    for (auto& v : rplane) v -= dc_r;
-    resid.analyze(std::move(rplane));
+    base_rec_at(base, q.bstar, q.kstar, dc_b, mn, unscale_c, h, w,
+                coef_buf.data(), rec_buf.data(), base_rec.data());
+    rset = make_resid_layer(resid, data, base_rec.data(), h, w,
+                            resid_levels, resid_nplanes, nchunks);
     if (resid.max_step > resid.P - 1) return -3;
 
     std::vector<float> rcoef((size_t)resid.h * resid.w);
     std::vector<float> rrec((size_t)resid.h * resid.w);
+    float rc0 = RECIP_RS * (rset.rmx - rset.rmn);
     auto resid_eval = [&](int b, int js2, int jr2, bool fine) -> ErrStats {
       resid.recon_coef(b, js2, jr2, fine, rcoef.data());
-      layer_recon(resid, rcoef.data(), dc_r, RESID_SCALE, rrec.data());
+      layer_recon(resid, rcoef.data(), rset.dc_r, RESID_SCALE, rrec.data());
       float maxd = -std::numeric_limits<float>::infinity();
       size_t nv = 0;
-      float rc0 = RECIP_RS * (rmx - rmn);
       for (int r = 0; r < h; ++r)
         for (int c = 0; c < w; ++c) {
-          float rec = base_rec[(size_t)r * w + c] +
-                      std::fma(rrec[(size_t)r * resid.w + c], rc0, rmn);
-          float tgt = pointwise ? target_pw[(size_t)r * w + c]
-                                : (mode == MODE_REL_ERR ? error * rng : error);
-          float e = std::fabs(data[(size_t)r * w + c] - rec) - tgt;
+          size_t i = (size_t)r * w + c;
+          float rec = base_rec[i] +
+                      std::fma(rrec[(size_t)r * resid.w + c], rc0, rset.rmn);
+          float e = std::fabs(data[i] - rec) - target_at(i);
           maxd = std::max(maxd, e);
           if (e > 0.0f) ++nv;
         }
@@ -781,7 +793,6 @@ int64_t ebcc_cpu_encode_frame(
   } else {
     // NONE / SPARSIFICATION_FACTOR: rate-targeted truncation
     // (pipeline.py _encode_rate_targeted)
-    int64_t budget_b = (int64_t)(32.0 * h * w / base_cr);
     auto pick = [&](const LayerEnc& L, int64_t budget, SearchResult* r) {
       // last candidate <= budget over the flattened (plane desc, k asc)
       // order; candidates are monotone nondecreasing
@@ -801,47 +812,17 @@ int64_t ebcc_cpu_encode_frame(
       r->bits = L.candidate(r->bstar, r->kstar);
       r->feasible = true;
     };
-    pick(base, budget_b, &q);
+    pick(base, (int64_t)(32.0 * h * w / base_cr), &q);
     bits_b = bits_pure_b = q.bits;
     bool use_resid = mode == MODE_SPARS;
     skip_residual = !use_resid;
     resid_feasible = use_resid;
     if (use_resid) {
-      int js = q.kstar < base.J ? q.kstar + 1 : base.J;
-      int jr = q.kstar < base.J ? 0 : q.kstar - base.J + 1;
-      base.recon_coef(q.bstar, js, jr, true, coef_buf.data());
-      layer_recon(base, coef_buf.data(), dc_b, U16_MAX, rec_buf.data());
       base_rec.resize(n);
-      float uc = RECIP_U16 * rng;
-      for (int r = 0; r < h; ++r)
-        for (int c = 0; c < w; ++c)
-          base_rec[(size_t)r * w + c] =
-              std::fma(rec_buf[(size_t)r * base.w + c], uc, mn);
-      std::vector<float> rs(n);
-      for (size_t i = 0; i < n; ++i) rs[i] = data[i] - base_rec[i];
-      rmn = rs[0];
-      rmx = rs[0];
-      for (size_t i = 0; i < n; ++i) {
-        rmn = std::min(rmn, rs[i]);
-        rmx = std::max(rmx, rs[i]);
-      }
-      float rrng = rmx > rmn ? rmx - rmn : 1.0f;
-      for (size_t i = 0; i < n; ++i)
-        rs[i] = (rs[i] - rmn) / rrng * RESID_SCALE;
-      resid.levels = resid_levels;
-      resid.g = resid_levels + 1;
-      resid.P = resid_nplanes;
-      resid.J = nchunks;
-      resid.h = padded(h, resid_levels);
-      resid.w = padded(w, resid_levels);
-      resid.wplane.resize((size_t)resid.h * resid.w);
-      ebcc_cpu_weight_plane(resid.h, resid.w, resid_levels,
-                            resid.wplane.data());
-      std::vector<float> rplane((size_t)resid.h * resid.w);
-      pad_symmetric(rs.data(), h, w, resid.h, resid.w, rplane.data());
-      dc_r = dc_floor_mean(rplane.data(), rplane.size());
-      for (auto& v : rplane) v -= dc_r;
-      resid.analyze(std::move(rplane));
+      base_rec_at(base, q.bstar, q.kstar, dc_b, mn, unscale_c, h, w,
+                  coef_buf.data(), rec_buf.data(), base_rec.data());
+      rset = make_resid_layer(resid, data, base_rec.data(), h, w,
+                              resid_levels, resid_nplanes, nchunks);
       if (resid.max_step > resid.P - 1) return -3;
       SearchResult rq;
       pick(resid, (int64_t)(8.0 * h * w / residual_cr), &rq);
@@ -853,17 +834,16 @@ int64_t ebcc_cpu_encode_frame(
   std::vector<uint8_t> base_arena =
       encode_stream(base, std::max(bits_b, bits_pure_b));
   ResidPart rp;
-  if (!skip_residual && (resid_feasible || error_bounded) && bits_r > 0 &&
-      !resid.ci.empty()) {
+  if (!skip_residual && bits_r > 0 && !resid.ci.empty()) {
     std::vector<uint8_t> rraw = encode_stream(resid, bits_r);
     size_t rbytes = (size_t)((bits_r + 7) / 8);
     if (rbytes > MIN_RESID_BYTES) {
       rp.zblob = zstd_pack(rraw.data(), rbytes, zstd_level);
       if (!rp.zblob.empty()) {
         rp.present = true;
-        rp.rmin = rmn;
-        rp.rmax = rmx;
-        rp.dc_r = dc_r;
+        rp.rmin = rset.rmn;
+        rp.rmax = rset.rmx;
+        rp.dc_r = rset.dc_r;
         rp.max_step_r = (uint8_t)resid.max_step;
         rp.nbits = (uint32_t)bits_r;
       }

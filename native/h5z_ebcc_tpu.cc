@@ -113,7 +113,7 @@ constexpr int kBaseNplanes = 22, kResidNplanes = 14, kZstdLevel = 19;
 // false on any malformed input
 bool decode_one_frame(const uint8_t* p, size_t len, std::vector<float>& out,
                       uint32_t* oh, uint32_t* ow) {
-  if (len < HDR_SIZE || memcmp(p, "EBT1", 4) != 0 || p[4] != 2) return false;
+  if (len < HDR_SIZE || memcmp(p, "EBT1", 4) != 0 || p[4] != 3) return false;
   unsigned flags = p[5];
   uint32_t h = rd<uint32_t>(p + 8), w = rd<uint32_t>(p + 12);
   float mn = rd<float>(p + 16), mx = rd<float>(p + 20);

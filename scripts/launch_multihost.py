@@ -103,10 +103,15 @@ def main():
         return worker(args)
 
     if args.from_slurm:
-        import socket
         args.process_id = int(os.environ["SLURM_PROCID"])
         args.num_processes = int(os.environ["SLURM_NTASKS"])
-        head = os.environ["SLURM_JOB_NODELIST"].split(",")[0].split("[")[0]
+        # SLURM_JOB_NODELIST is a compressed expression (e.g.
+        # "nid[001-002]"); scontrol expands it to real hostnames
+        head = subprocess.run(
+            ["scontrol", "show", "hostnames",
+             os.environ["SLURM_JOB_NODELIST"]],
+            capture_output=True, text=True,
+            check=True).stdout.splitlines()[0].strip()
         args.coordinator = f"{head}:12321"
         return worker(args)
 
