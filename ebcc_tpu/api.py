@@ -489,9 +489,34 @@ def _assemble_frame(res, i, h, w, config, mode, streams, zblobs) -> bytes:
     return combined
 
 
+def _use_cpu_decode(config: EBCCConfig) -> bool:
+    """Resolve the decode backend (config.decode_backend).
+
+    "auto" chooses the native CPU decoder on tunnel-attached devices
+    (platform "axon"), where fetching the decompressed f32 frames over the
+    link costs more than decoding them on the host outright; real
+    PCIe/ICI-attached devices keep the jitted path.
+    """
+    mode = config.decode_backend
+    if mode == "cpu":
+        if not _native.HAVE_NATIVE:
+            raise RuntimeError("decode_backend='cpu' needs the native "
+                               "runtime (make -C native)")
+        return True
+    if mode != "auto" or not _native.HAVE_NATIVE:
+        return False
+    # tunnel-attached devices register through the "axon" plugin (the
+    # devices themselves report platform "tpu"; the plugin name is in the
+    # platform list)
+    return "axon" in (jax.config.jax_platforms or "")
+
+
 def decompress(blob: bytes, config: EBCCConfig | None = None) -> np.ndarray:
     """Decompress a container blob back to [N, H, W] float32."""
     config = config or EBCCConfig()
+    if _use_cpu_decode(config):
+        from .runtime import cpu_decoder
+        return cpu_decoder.decompress(blob)
     frames = container.unpack_blob(blob)
     metas = [container.unpack_frame(f) for f in frames]
     n = len(metas)

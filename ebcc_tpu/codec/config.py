@@ -74,6 +74,12 @@ class EBCCConfig:
     zstd_level: int = 19            # residual entropy stage (ref uses 22)
     max_batch: int = 8              # frames per device dispatch
     prefetch_batches: int = 2       # device batches in flight (pipelining)
+    # decompression backend: "device" (jitted recon), "cpu" (the native
+    # standalone decoder, no device round trip), or "auto" — cpu on
+    # tunnel-attached devices (platform "axon", where the decompressed-
+    # output d2h transfer dominates wall time; see BENCHMARKS.md), device
+    # otherwise.  Encoding always runs on the device.
+    decode_backend: str = "auto"
 
     def __post_init__(self):
         if self.mode == ResidualMode.QUANTILE:

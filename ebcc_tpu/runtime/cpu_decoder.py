@@ -14,6 +14,7 @@ codec's search margins for practical bounds — see tests/test_cpu_decoder.py.
 from __future__ import annotations
 
 import ctypes
+import os
 
 import numpy as np
 
@@ -35,53 +36,88 @@ def _validate_header(hdr) -> None:
         raise ValueError("corrupt EBCC-TPU frame header")
 
 
+def _decode_one(lib, hdr, base_stream: bytes, resid_stream: bytes,
+                has_resid: bool) -> np.ndarray:
+    frame = np.empty((hdr.h, hdr.w), np.float32)
+    rc = lib.ebcc_cpu_decode_frame(
+        ctypes.cast(ctypes.c_char_p(base_stream),
+                    ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(hdr.base_nbits), ctypes.c_int(hdr.max_step_b),
+        ctypes.c_float(hdr.mn), ctypes.c_float(hdr.mx),
+        ctypes.c_float(hdr.dc_b),
+        ctypes.c_int(hdr.h), ctypes.c_int(hdr.w),
+        ctypes.c_int(hdr.base_levels), ctypes.c_int(hdr.base_nplanes),
+        ctypes.c_int(hdr.nchunks),
+        ctypes.c_int(1 if has_resid else 0),
+        ctypes.cast(ctypes.c_char_p(resid_stream),
+                    ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(hdr.resid_nbits), ctypes.c_int(hdr.max_step_r),
+        ctypes.c_float(hdr.rmin), ctypes.c_float(hdr.rmax),
+        ctypes.c_float(hdr.dc_r), ctypes.c_int(hdr.resid_levels),
+        ctypes.c_int(hdr.resid_nplanes),
+        frame.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        raise RuntimeError(f"cpu decode failed: {rc}")
+    return frame
+
+
 def decompress(blob: bytes) -> np.ndarray:
-    """Decode a container blob to [N, H, W] float32 on the CPU."""
+    """Decode a container blob to [N, H, W] float32 on the CPU.
+
+    The zstd stage is batched through the threaded native runtime and the
+    per-frame structural decodes run in a thread pool (the ctypes calls
+    release the GIL) — one blob decodes with all host cores.
+    """
     lib = _native._load()
     if lib is None:
         raise RuntimeError("native runtime unavailable")
     frames = container.unpack_blob(blob)
-    out = []
-    for fb in frames:
-        hdr, zblob, base_stream, tot = container.unpack_frame(fb)
+    metas = [container.unpack_frame(fb) for fb in frames]
+    out: list = [None] * len(frames)
+
+    # batched zstd stage: every compressed stream in one native call
+    zjobs, zmax, zdst = [], [], []  # (bytes), max sizes, (idx, which)
+    for i, (hdr, zblob, base_stream, _) in enumerate(metas):
         if hdr.flags & container.FLAG_CONST:
             if hdr.h == 0 or hdr.w == 0 or hdr.h * hdr.w > (1 << 28):
                 raise ValueError("corrupt EBCC-TPU frame header")
-            out.append(np.full((hdr.h, hdr.w), hdr.mn, np.float32))
+            out[i] = np.full((hdr.h, hdr.w), hdr.mn, np.float32)
             continue
         _validate_header(hdr)
         if hdr.flags & container.FLAG_BASE_Z:
-            base_stream = _native.zstd_decompress_batch(
-                [base_stream], [(hdr.base_nbits + 7) // 8])[0]
+            zjobs.append(base_stream)
+            zmax.append((hdr.base_nbits + 7) // 8)
+            zdst.append((i, "base"))
+        if hdr.flags & container.FLAG_RESID:
+            zjobs.append(zblob)
+            zmax.append((hdr.resid_nbits + 7) // 8)
+            zdst.append((i, "resid"))
+    streams = {}
+    if zjobs:
+        for (i, which), raw in zip(zdst,
+                                   _native.zstd_decompress_batch(zjobs,
+                                                                 zmax)):
+            streams[(i, which)] = raw
+
+    def run(i):
+        hdr, zblob, base_stream, _ = metas[i]
+        base = streams.get((i, "base"), base_stream)
         has_resid = bool(hdr.flags & container.FLAG_RESID)
-        resid_stream = b""
-        if has_resid:
-            resid_stream = _native.zstd_decompress_batch(
-                [zblob], [(hdr.resid_nbits + 7) // 8])[0]
-        # header-declared bit counts must be backed by actual bytes — the C
-        # decoder trusts them (out-of-bounds read otherwise)
-        if len(base_stream) * 8 < hdr.base_nbits or \
-                (has_resid and len(resid_stream) * 8 < hdr.resid_nbits):
+        resid = streams.get((i, "resid"), b"")
+        # header-declared bit counts must be backed by actual bytes — the
+        # C decoder trusts them (out-of-bounds read otherwise)
+        if len(base) * 8 < hdr.base_nbits or \
+                (has_resid and len(resid) * 8 < hdr.resid_nbits):
             raise ValueError("truncated EBCC-TPU frame stream")
-        frame = np.empty((hdr.h, hdr.w), np.float32)
-        rc = lib.ebcc_cpu_decode_frame(
-            ctypes.cast(ctypes.c_char_p(base_stream),
-                        ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.c_int64(hdr.base_nbits), ctypes.c_int(hdr.max_step_b),
-            ctypes.c_float(hdr.mn), ctypes.c_float(hdr.mx),
-            ctypes.c_float(hdr.dc_b),
-            ctypes.c_int(hdr.h), ctypes.c_int(hdr.w),
-            ctypes.c_int(hdr.base_levels), ctypes.c_int(hdr.base_nplanes),
-            ctypes.c_int(hdr.nchunks),
-            ctypes.c_int(1 if has_resid else 0),
-            ctypes.cast(ctypes.c_char_p(resid_stream),
-                        ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.c_int64(hdr.resid_nbits), ctypes.c_int(hdr.max_step_r),
-            ctypes.c_float(hdr.rmin), ctypes.c_float(hdr.rmax),
-            ctypes.c_float(hdr.dc_r), ctypes.c_int(hdr.resid_levels),
-            ctypes.c_int(hdr.resid_nplanes),
-            frame.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
-        if rc != 0:
-            raise RuntimeError(f"cpu decode failed: {rc}")
-        out.append(frame)
+        out[i] = _decode_one(lib, hdr, base, resid, has_resid)
+
+    todo = [i for i in range(len(frames)) if out[i] is None]
+    nthreads = min(len(todo), os.cpu_count() or 1)
+    if nthreads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=nthreads) as ex:
+            list(ex.map(run, todo))
+    else:
+        for i in todo:
+            run(i)
     return np.stack(out)

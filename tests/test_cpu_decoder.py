@@ -46,3 +46,21 @@ def test_const_frame(codec_pair):
     _, cfg, _ = codec_pair
     blob = ebcc_tpu.compress(np.full((1, 32, 64), 5.0, np.float32), cfg)
     np.testing.assert_array_equal(cpu_decoder.decompress(blob), 5.0)
+
+
+def test_decode_backend_cpu_matches_device(small_frame):
+    """decompress(decode_backend='cpu') must agree with the device path
+    within the codec's cross-implementation tolerance and hold the bound."""
+    import dataclasses
+
+    import ebcc_tpu
+    from ebcc_tpu.codec.config import EBCCConfig, ResidualMode
+    cfg = EBCCConfig(mode=ResidualMode.MAX_ERROR, error=0.1, max_batch=1,
+                     decode_backend="device")
+    blob = ebcc_tpu.compress(small_frame, cfg)
+    rec_dev = ebcc_tpu.decompress(blob, cfg)
+    rec_cpu = ebcc_tpu.decompress(
+        blob, dataclasses.replace(cfg, decode_backend="cpu"))
+    assert rec_cpu.shape == rec_dev.shape
+    assert np.abs(rec_cpu[0] - small_frame).max() <= 0.1
+    assert np.abs(rec_cpu - rec_dev).max() <= 1e-3
