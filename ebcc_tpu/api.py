@@ -40,12 +40,16 @@ MIN_RESID_BYTES = 16
 
 # EncodeResult fields whose device->host fetch is deferred until the small
 # flags decide which representation (u8 / u16 / exact f32) is needed.
-# The TYPICAL forms (sparse base, u8 residual) are NOT deferred: they are
-# async-prefetched at dispatch so the drain almost never waits on the link;
-# the rarely-needed denser forms transfer only when the flags demand them.
+# The TYPICAL base form (sparse) is NOT deferred: it is async-prefetched at
+# dispatch so the drain almost never waits on the link; denser forms
+# transfer only when the flags demand them.  ALL residual forms are
+# deferred: at production configs the pure-base variant usually wins and
+# the residual layer is skipped for every frame, in which case no residual
+# bytes cross the link at all (see _pack_layer_streams' empty-arena
+# early-out).
 _F32_COEF_FIELDS = ("base_coef", "resid_coef")
 _DEFERRED_FIELDS = _F32_COEF_FIELDS + (
-    "base_pack16", "resid_pack16", "base_pack8")
+    "base_pack16", "resid_pack16", "base_pack8", "resid_pack8")
 
 
 def _zstd_compress(data: bytes, level: int) -> bytes:
@@ -381,6 +385,11 @@ def _pack_layer_streams(res, codec, rd, layer, trunc):
     """
     geom = codec.base if layer == "base" else codec.resid
     spec = geom.spec
+    if int(trunc.max(initial=0)) == 0:
+        # no frame keeps any bits of this layer (typical for the residual
+        # when pure base wins everywhere): skip the coefficient fetch —
+        # the layer's forms never cross the link
+        return lambda i, bits: b""
     if _native.HAVE_NATIVE:
         form = _fetch_coef(res, rd, layer)
         if form[0] == "sparse":
