@@ -83,6 +83,7 @@ def cmd_sweep(args):
         raise SystemExit("sweep sweeps scalar bounds; pointwise mode needs "
                          "per-point bounds — use scripts/pointwise_sweep.py")
     data = _load(args.input)
+    from .ops import metrics
     rows = []
     for err in args.errors:
         cfg = EBCCConfig(mode=_MODES[args.mode], error=err,
@@ -93,12 +94,17 @@ def cmd_sweep(args):
         t0 = time.perf_counter()
         rec = api.decompress(blob, cfg).reshape(data.shape)
         dec_t = time.perf_counter() - t0
-        achieved = float(np.max(np.abs(rec - data)))
-        rng = float(data.max() - data.min())
-        rows.append(dict(error_target=err, cr=data.nbytes / len(blob),
-                         max_error=achieved, rel_error=achieved / rng,
-                         rmse=float(np.sqrt(np.mean((rec - data) ** 2))),
-                         encode_s=enc_t, decode_s=dec_t))
+        x = data[None] if data.ndim == 2 else data.reshape(
+            -1, *data.shape[-2:])
+        y = rec.reshape(x.shape)
+        rows.append(dict(
+            error_target=err, cr=data.nbytes / len(blob),
+            max_error=float(metrics.max_error(x, y).max()),
+            rel_error=float(metrics.max_relative_error(x, y).max()),
+            rmse=float(metrics.rmse(x, y).max()),
+            psnr_db=float(metrics.psnr(x, y).min()),
+            within_bound=float(metrics.error_quantile(x, y, err).min()),
+            encode_s=enc_t, decode_s=dec_t))
         print(json.dumps(rows[-1]))
     if args.csv:
         import csv

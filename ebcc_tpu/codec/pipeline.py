@@ -187,87 +187,94 @@ class FrameCodec:
         return rec / RESID_SCALE * rng + rmin[:, None, None]
 
     # ---------------- truncation search ----------------
+    #
+    # Feasibility (max-error or violation-quantile) is monotone in coded
+    # depth: every further plane / chunk tightens the reconstruction.  The
+    # first-feasible searches therefore run as BISECTIONS over the
+    # candidate axes — ceil(log2(P)) + ceil(log2(2J)) reconstruction
+    # evaluations per selection instead of P + 2J — the same collapse the
+    # embedded stream already applied to the reference's re-encode probes.
+    # The native CPU encoder mirrors the exact bisection rule
+    # (lo=0, hi=n-1, mid=(lo+hi)//2, fixed bit_length(n-1) iterations) so
+    # both sides select identical truncations even where monotonicity is
+    # imperfect.
 
-    def _scan_planes(self, an, geom, recon_fn, data_ref, target):
-        """Per-plane-boundary error stats: (maxdiff [B,P], viol [B,P]).
-
-        maxdiff = max(|err| - target); viol = fraction of points violating.
-        ``target`` is [B] (broadcast) or [B,H,W] (pointwise).
-        """
-        tgt = target if target.ndim == 3 else target[:, None, None]
-
-        def step(_, b):
-            rec = bp.recon_truncated(an, b)
-            err = jnp.abs(data_ref - recon_fn(rec)) - tgt
-            return None, (jnp.max(err, axis=(-2, -1)),
-                          jnp.mean(err > 0, axis=(-2, -1)))
-
-        _, (maxdiff, viol) = jax.lax.scan(step, None,
-                                          jnp.arange(geom.spec.nplanes - 1,
-                                                     -1, -1, jnp.int32))
-        return maxdiff.T, viol.T  # [B, P]
-
-    def _fine_candidates(self, an, geom, recon_fn, data_ref, target, bstar):
-        """Error stats at the 2J chunk candidates inside plane bstar [B]."""
-        tgt = target if target.ndim == 3 else target[:, None, None]
-        j = geom.spec.nchunks
-        maxd, viol = [], []
-        for k in range(2 * j):
-            if k < j:
-                js, jr = k + 1, 0
-            else:
-                js, jr = j, k - j + 1
-            bb = jnp.full_like(bstar, js)
-            rr = jnp.full_like(bstar, jr)
-            rec = bp.recon_truncated(an, bstar, sig_chunks=bb,
-                                     refine_chunks=rr, spec=geom.spec)
-            err = jnp.abs(data_ref - recon_fn(rec)) - tgt
-            maxd.append(jnp.max(err, axis=(-2, -1)))
-            viol.append(jnp.mean(err > 0, axis=(-2, -1)))
-        return jnp.stack(maxd, -1), jnp.stack(viol, -1)  # [B, 2J]
+    def _stats_at(self, an, geom, recon_fn, data_ref, tgt, b,
+                  js=None, jr=None):
+        """(maxdiff [B], viol [B]) of the reconstruction truncated at
+        per-frame plane ``b`` (plus optional fine chunk position)."""
+        rec = bp.recon_truncated(an, b, sig_chunks=js, refine_chunks=jr,
+                                 spec=geom.spec)
+        err = jnp.abs(data_ref - recon_fn(rec)) - tgt
+        return (jnp.max(err, axis=(-2, -1)),
+                jnp.mean(err > 0, axis=(-2, -1)))
 
     @staticmethod
-    def _first_feasible(ok):
-        """Index of first True along the last axis; last index if none."""
-        idx = jnp.argmax(ok, axis=-1)
-        any_ok = jnp.any(ok, axis=-1)
-        return jnp.where(any_ok, idx, ok.shape[-1] - 1), any_ok
+    def _bisect(n, feasible_at):
+        """Per-frame first index in [0, n) where ``feasible_at`` holds
+        (assuming monotone feasibility); n-1 if none.  ``feasible_at(idx)``
+        maps an int32 [B] index vector to a bool [B] vector."""
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi) // 2
+            f = feasible_at(mid)
+            return jnp.where(f, lo, mid + 1), jnp.where(f, mid, hi)
+
+        lo = jnp.zeros((), jnp.int32)
+        hi = jnp.full((), n - 1, jnp.int32)
+        lo, hi = body(0, (lo, hi))  # shapes promote to [B] after first eval
+        for i in range(1, max(1, int.bit_length(n - 1))):
+            lo, hi = body(i, (lo, hi))
+        # all-infeasible frames overshoot lo past n-1 (converged-at-hi
+        # re-evaluations keep failing); clamp to the last index
+        return jnp.minimum(lo, n - 1)
 
     def _search_truncation(self, an, geom, recon_fn, data_ref, target,
-                           qallow, coarse=None):
+                           qallow, cand=None):
         """Smallest truncation whose violation fraction <= qallow.
 
-        Returns (bits [B], feasible [B], maxdiff at choice [B], bstar, kstar).
-        ``coarse`` optionally carries precomputed (cand, maxd_p, viol_p) so
-        several selections (e.g. the feasibility-quantile choice and the
-        pure-base fallback, j2k_codec.h:668-695) share one plane scan.
+        Returns (bits [B], feasible [B], maxdiff at choice [B], bstar,
+        kstar).  ``cand`` optionally carries the precomputed candidate-bits
+        table so several selections share it.
         """
-        if coarse is None:
+        if cand is None:
             counts = bp.segment_counts(an, geom.spec)
             cand = bp.candidate_bits(counts, geom.spec)  # [B, P, 2J]
-            maxd_p, viol_p = self._scan_planes(an, geom, recon_fn, data_ref,
-                                               target)
-        else:
-            cand, maxd_p, viol_p = coarse
-        ok_p = jnp.where(qallow > 0, viol_p <= qallow, maxd_p <= 0)
-        pstar, any_ok = self._first_feasible(ok_p)
-        bstar = geom.spec.nplanes - 1 - pstar
-        maxd_f, viol_f = self._fine_candidates(an, geom, recon_fn, data_ref,
-                                               target, bstar)
-        ok_f = jnp.where(qallow > 0, viol_f <= qallow, maxd_f <= 0)
-        # the last fine candidate == plane complete == the coarse choice,
-        # so feasibility at pstar implies a feasible fine candidate.
-        kstar, _ = self._first_feasible(ok_f)
+        tgt = target if target.ndim == 3 else target[:, None, None]
+        p = geom.spec.nplanes
+        j = geom.spec.nchunks
+
+        def ok_of(maxd, viol):
+            return jnp.where(qallow > 0, viol <= qallow, maxd <= 0)
+
+        # coarse: first feasible plane-complete candidate (scan order:
+        # index q is plane p-1-q)
+        pstar = self._bisect(p, lambda idx: ok_of(*self._stats_at(
+            an, geom, recon_fn, data_ref, tgt, p - 1 - idx)))
+        bstar = p - 1 - pstar
+        maxd_p, viol_p = self._stats_at(an, geom, recon_fn, data_ref, tgt,
+                                        bstar)
+        any_ok = ok_of(maxd_p, viol_p)
+
+        # fine: first feasible chunk candidate inside plane bstar
+        def fine(idx):
+            js = jnp.where(idx < j, idx + 1, j)
+            jr = jnp.where(idx < j, 0, idx - j + 1)
+            return self._stats_at(an, geom, recon_fn, data_ref, tgt, bstar,
+                                  js=js, jr=jr)
+
+        kstar = self._bisect(2 * j, lambda idx: ok_of(*fine(idx)))
+        maxd_f, viol_f = fine(kstar)
+
         bits_pk = jnp.take_along_axis(cand, pstar[:, None, None],
                                       axis=1)[:, 0]  # [B, 2J]
         bits = jnp.take_along_axis(bits_pk, kstar[:, None], axis=1)[:, 0]
-        maxd = jnp.take_along_axis(maxd_f, kstar[:, None], axis=1)[:, 0]
         total = cand[:, -1, -1]
         bits = jnp.where(any_ok, bits, total)
-        maxd = jnp.where(any_ok, maxd,
-                         jnp.take_along_axis(maxd_p, (geom.spec.nplanes - 1) *
-                                             jnp.ones_like(pstar)[:, None],
-                                             axis=1)[:, 0])
+        # infeasible frames report the plane-0-complete maxdiff (the best
+        # the layer can do); bstar is 0 there so maxd_p is exactly that
+        maxd = jnp.where(any_ok, maxd_f, maxd_p)
         return bits, any_ok, maxd, bstar, kstar
 
     @staticmethod
@@ -344,16 +351,15 @@ class FrameCodec:
         def recon_b(rc):
             return self._base_recon(rc, mn, mx, dc)
 
-        counts_b = bp.segment_counts(an_b, self.base.spec)
-        coarse = (bp.candidate_bits(counts_b, self.base.spec),
-                  *self._scan_planes(an_b, self.base, recon_b, data, target))
+        cand_b = bp.candidate_bits(bp.segment_counts(an_b, self.base.spec),
+                                   self.base.spec)
         bits_q, feas_q, maxd_q, bs_q, ks_q = self._search_truncation(
-            an_b, self.base, recon_b, data, target, qbase, coarse=coarse)
+            an_b, self.base, recon_b, data, target, qbase, cand=cand_b)
         # pure fallback: same embedded stream, quantile target 1.0
-        # (j2k_codec.h:668-695) — free here, it is just another prefix.
+        # (j2k_codec.h:668-695) — just another prefix of the same arena.
         bits_pure, feas_pure, _, bs_pure, ks_pure = self._search_truncation(
             an_b, self.base, recon_b, data, target, jnp.float32(0.0),
-            coarse=coarse)
+            cand=cand_b)
 
         base_rec = recon_b(self._recon_at(an_b, self.base, bs_q, ks_q))
         resid = data - base_rec
@@ -415,18 +421,17 @@ class FrameCodec:
         def recon_b(rc):
             return self._base_recon(rc, mn, mx, dc)
 
-        counts_b = bp.segment_counts(an_b, self.base.spec)
-        coarse = (bp.candidate_bits(counts_b, self.base.spec),
-                  *self._scan_planes(an_b, self.base, recon_b, data, target))
+        cand_b = bp.candidate_bits(bp.segment_counts(an_b, self.base.spec),
+                                   self.base.spec)
         bits_pure, feas_pure, _, bs_pure, ks_pure = self._search_truncation(
             an_b, self.base, recon_b, data, target, jnp.float32(0.0),
-            coarse=coarse)
+            cand=cand_b)
 
         per_q = []
         bs_min = bs_pure
         for k in range(qs.shape[0]):
             bits_q, _, maxd_q, bs_q, ks_q = self._search_truncation(
-                an_b, self.base, recon_b, data, target, qs[k], coarse=coarse)
+                an_b, self.base, recon_b, data, target, qs[k], cand=cand_b)
             base_rec = recon_b(self._recon_at(an_b, self.base, bs_q, ks_q))
             resid = data - base_rec
             skip_residual = maxd_q <= 0

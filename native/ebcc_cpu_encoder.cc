@@ -446,64 +446,72 @@ struct SearchResult {
   int kstar = 0;
 };
 
-// Truncation search for one layer, mirroring pipeline.py _search_truncation:
-// coarse top-down plane scan (stats at "plane complete"), first feasible
-// plane for the quantile rule AND for the pure rule (maxd <= 0), then a
-// fine first-feasible scan over the 2J chunk candidates inside each chosen
-// plane.  eval(b, js, jr, fine) returns error stats of the reconstruction
-// truncated there.
+// Truncation search for one layer, mirroring pipeline.py
+// _search_truncation: feasibility is monotone in coded depth, so both the
+// plane and the fine-chunk selections are first-feasible BISECTIONS —
+// the exact rule of pipeline.py _bisect (lo=0, hi=n-1, mid=(lo+hi)/2,
+// converged-index clamp), so both implementations pick identical
+// truncations even where monotonicity is imperfect.  eval(b, js, jr,
+// fine) returns error stats of the reconstruction truncated there; a
+// small memo avoids repeating the verification evaluations.
 template <typename EvalFn>
 void search_truncation(const LayerEnc& L, float qallow, EvalFn&& eval,
                        SearchResult* out_q, SearchResult* out_pure) {
   const int P = L.P, J = L.J;
+  std::vector<std::pair<int64_t, ErrStats>> memo;
+  auto eval_m = [&](int b, int js, int jr, bool fine) {
+    int64_t key = ((int64_t)b << 20) | (js << 12) | (jr << 4) | (int)fine;
+    for (auto& kv : memo)
+      if (kv.first == key) return kv.second;
+    ErrStats e = eval(b, js, jr, fine);
+    memo.emplace_back(key, e);
+    return e;
+  };
   auto ok_rule = [&](const ErrStats& e, float qa) {
     return qa > 0.0f ? e.viol <= (double)qa : e.maxd <= 0.0f;
   };
-  int b_q = -1, b_pure = -1;
-  ErrStats last{0.0f, 0.0};
-  for (int b = P - 1; b >= 0; --b) {
-    last = eval(b, 0, 0, false);
-    if (b_q < 0 && ok_rule(last, qallow)) b_q = b;
-    if (b_pure < 0 && last.maxd <= 0.0f) b_pure = b;
-    if (b_q >= 0 && (out_pure == nullptr || b_pure >= 0)) break;
-  }
-  auto fine_select = [&](int bstar, float qa, bool any_ok) {
+  auto bisect = [&](int n, auto&& feas) {
+    int lo = 0, hi = n - 1;
+    while (lo < hi) {
+      int mid = (lo + hi) / 2;
+      if (feas(mid))
+        hi = mid;
+      else
+        lo = mid + 1;
+    }
+    return std::min(lo, n - 1);
+  };
+  auto select = [&](float qa) {
     SearchResult r;
-    r.bstar = bstar;
-    r.kstar = 2 * J - 1;
-    ErrStats chosen = last;
-    for (int k = 0; k < 2 * J; ++k) {
+    int pstar = bisect(P, [&](int idx) {
+      return ok_rule(eval_m(P - 1 - idx, 0, 0, false), qa);
+    });
+    r.bstar = P - 1 - pstar;
+    ErrStats coarse = eval_m(r.bstar, 0, 0, false);
+    bool any_ok = ok_rule(coarse, qa);
+    auto fine = [&](int k) {
       int js = k < J ? k + 1 : J;
       int jr = k < J ? 0 : k - J + 1;
-      ErrStats e = eval(bstar, js, jr, true);
-      if (ok_rule(e, qa)) {
-        r.kstar = k;
-        chosen = e;
-        break;
-      }
-      if (k == 2 * J - 1) chosen = e;
-    }
+      return eval_m(r.bstar, js, jr, true);
+    };
+    r.kstar = bisect(2 * J, [&](int k) { return ok_rule(fine(k), qa); });
+    ErrStats f = fine(r.kstar);
     if (any_ok) {
-      r.bits = L.candidate(bstar, r.kstar);
-      r.maxd = chosen.maxd;
+      r.bits = L.candidate(r.bstar, r.kstar);
+      r.maxd = f.maxd;
       r.feasible = true;
     } else {
       // no feasible truncation: take the full stream; maxd is the
       // plane-0-complete figure (the best the layer can do)
       r.bits = L.total_bits;
-      r.maxd = last.maxd;
+      r.maxd = coarse.maxd;
       r.feasible = false;
     }
     return r;
   };
-  *out_q = fine_select(b_q >= 0 ? b_q : 0, qallow, b_q >= 0);
-  if (out_pure != nullptr) {
-    if (qallow <= 0.0f) {
-      *out_pure = *out_q;  // identical rules -> identical selection
-    } else {
-      *out_pure = fine_select(b_pure >= 0 ? b_pure : 0, 0.0f, b_pure >= 0);
-    }
-  }
+  *out_q = select(qallow);
+  if (out_pure != nullptr)
+    *out_pure = (qallow <= 0.0f) ? *out_q : select(0.0f);
 }
 
 // ---- container serialization (codec/container.py v3 layout) ----
