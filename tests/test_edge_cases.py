@@ -103,3 +103,25 @@ def test_mixed_geometry_blob_rejected():
     mixed = container.pack_blob([f1[0], f2[0]])
     with pytest.raises(ValueError, match="mixed"):
         ebcc_tpu.decompress(mixed, small_cfg())
+
+
+def test_infeasible_bound_still_bounded_by_patch():
+    """A bound no truncation can meet (pure noise, near-zero target) must
+    not crash the bisection search (all-infeasible clamp) and the full
+    stream must be taken; DirectCompressor's exact patch then restores the
+    hard guarantee."""
+    import ebcc_tpu
+    from ebcc_tpu import DirectCompressor
+    from ebcc_tpu.codec.config import EBCCConfig, ResidualMode
+    rng = np.random.default_rng(0)
+    data = rng.normal(0, 1000.0, (32, 48)).astype(np.float32)
+    cfg = EBCCConfig(mode=ResidualMode.MAX_ERROR, error=1e-5, max_batch=1)
+    blob = ebcc_tpu.compress(data, cfg)          # infeasible everywhere
+    rec = ebcc_tpu.decompress(blob, cfg)[0]
+    assert np.isfinite(rec).all()                # sane full-stream decode
+    # with the pointwise wrapper the bound becomes unconditional
+    cfgp = EBCCConfig(mode=ResidualMode.POINTWISE_MAX_ERROR, max_batch=1)
+    dc = DirectCompressor(config=cfgp)
+    eb = np.full_like(data, 1e-5)
+    rec2 = dc.decompress(dc.compress(data, eb))
+    assert np.all(np.abs(rec2 - data) <= eb)
