@@ -80,8 +80,18 @@ def _zstd_decompress(data: bytes, max_size: int) -> bytes:
 
 
 @functools.lru_cache(maxsize=16)
-def _codec_for(h: int, w: int, config: EBCCConfig) -> FrameCodec:
+def _codec_for_cached(h: int, w: int, config: EBCCConfig) -> FrameCodec:
     return FrameCodec(h, w, config)
+
+
+def _codec_for(h: int, w: int, config: EBCCConfig) -> FrameCodec:
+    import dataclasses
+
+    # decode_backend is pure routing — it affects nothing inside the
+    # jitted pipeline, so normalise it out of the cache key (a decode-only
+    # flag change must not re-trace/compile the whole codec)
+    return _codec_for_cached(
+        h, w, dataclasses.replace(config, decode_backend="auto"))
 
 
 def _words_to_bytes(words: np.ndarray, nbits: int) -> bytes:
@@ -170,6 +180,13 @@ def compress(data, config: EBCCConfig | None = None, *,
         # the flags and only that one is pulled over the link
         resn = jax.device_get({k: v for k, v in rd.items()
                                if k not in _DEFERRED_FIELDS})
+        if not np.all(resn["const"] | resn["skip_residual"]):
+            # some frame keeps residual bits: start its typical transfer
+            # form moving now so it overlaps the base-layer host packing
+            try:
+                rd["resid_pack8"].copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
         streams = _pack_streams(resn, codec, rd)
         zblobs = _zstd_stage(resn, streams, nb_valid, config)
         for i in range(nb_valid):
@@ -520,11 +537,25 @@ def _use_cpu_decode(config: EBCCConfig) -> bool:
     return "axon" in (jax.config.jax_platforms or "")
 
 
+def _check_uniform_geometry(metas) -> None:
+    """Every non-const frame of a blob must share (h, w) and coder
+    geometry — the format contract api.decompress enforces on every
+    backend (the low-level runtime.cpu_decoder stays permissive)."""
+    keys = [(h.h, h.w, h.base_levels, h.resid_levels, h.nchunks,
+             h.base_nplanes, h.resid_nplanes) for h in metas
+            if not h.flags & container.FLAG_CONST]
+    if keys and any(k != keys[0] for k in keys[1:]):
+        raise ValueError("mixed coder geometries in one blob")
+
+
 def decompress(blob: bytes, config: EBCCConfig | None = None) -> np.ndarray:
     """Decompress a container blob back to [N, H, W] float32."""
     config = config or EBCCConfig()
     if _use_cpu_decode(config):
         from .runtime import cpu_decoder
+        _check_uniform_geometry(
+            [container.unpack_frame(f)[0]
+             for f in container.unpack_blob(blob)])
         return cpu_decoder.decompress(blob)
     frames = container.unpack_blob(blob)
     metas = [container.unpack_frame(f) for f in frames]
@@ -548,13 +579,7 @@ def decompress(blob: bytes, config: EBCCConfig | None = None) -> np.ndarray:
         config, base_levels=g0.base_levels, residual_levels=g0.resid_levels,
         nchunks=g0.nchunks, base_nplanes=g0.base_nplanes,
         residual_nplanes=g0.resid_nplanes)
-    for idx in todo:
-        hh = metas[idx][0]
-        if (hh.base_levels, hh.resid_levels, hh.nchunks, hh.base_nplanes,
-                hh.resid_nplanes) != (g0.base_levels, g0.resid_levels,
-                                      g0.nchunks, g0.base_nplanes,
-                                      g0.resid_nplanes):
-            raise ValueError("mixed coder geometries in one blob")
+    _check_uniform_geometry([m[0] for m in metas])
     codec = _codec_for(h, w, config)
     bsz = min(config.max_batch, len(todo))
     pending = []  # (idxs, device_result)

@@ -83,7 +83,6 @@ def cmd_sweep(args):
         raise SystemExit("sweep sweeps scalar bounds; pointwise mode needs "
                          "per-point bounds — use scripts/pointwise_sweep.py")
     data = _load(args.input)
-    from .ops import metrics
     rows = []
     for err in args.errors:
         cfg = EBCCConfig(mode=_MODES[args.mode], error=err,
@@ -94,16 +93,28 @@ def cmd_sweep(args):
         t0 = time.perf_counter()
         rec = api.decompress(blob, cfg).reshape(data.shape)
         dec_t = time.perf_counter() - t0
-        x = data[None] if data.ndim == 2 else data.reshape(
-            -1, *data.shape[-2:])
-        y = rec.reshape(x.shape)
+        # one numpy pass for all statistics (the jnp metric helpers in
+        # ops/metrics.py would re-upload both arrays to the device per
+        # call — pure link waste for host-side reporting)
+        x = data.reshape(-1, *data.shape[-2:]).astype(np.float64)
+        y = rec.reshape(x.shape).astype(np.float64)
+        ae = np.abs(x - y)
+        rng = x.max(axis=(-2, -1)) - x.min(axis=(-2, -1))
+        maxe = ae.max(axis=(-2, -1))
+        rmse = np.sqrt(np.mean((x - y) ** 2, axis=(-2, -1)))
+        # the bound the codec actually enforced: absolute in max_error
+        # mode, err * per-frame range in relative_error mode
+        bound = (err * rng if args.mode == "relative_error"
+                 else np.full_like(rng, err))
+        within = np.mean(ae <= bound[:, None, None], axis=(-2, -1))
         rows.append(dict(
             error_target=err, cr=data.nbytes / len(blob),
-            max_error=float(metrics.max_error(x, y).max()),
-            rel_error=float(metrics.max_relative_error(x, y).max()),
-            rmse=float(metrics.rmse(x, y).max()),
-            psnr_db=float(metrics.psnr(x, y).min()),
-            within_bound=float(metrics.error_quantile(x, y, err).min()),
+            max_error=float(maxe.max()),
+            rel_error=float((maxe / rng).max()),
+            rmse=float(rmse.max()),
+            psnr_db=float((20 * np.log10(
+                rng / np.maximum(rmse, 1e-30))).min()),
+            within_bound=float(within.min()),
             encode_s=enc_t, decode_s=dec_t))
         print(json.dumps(rows[-1]))
     if args.csv:

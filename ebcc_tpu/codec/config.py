@@ -78,7 +78,11 @@ class EBCCConfig:
     # standalone decoder, no device round trip), or "auto" — cpu on
     # tunnel-attached devices (platform "axon", where the decompressed-
     # output d2h transfer dominates wall time; see BENCHMARKS.md), device
-    # otherwise.  Encoding always runs on the device.
+    # otherwise.  Encoding always runs on the device.  The two backends
+    # agree to ~1e-3 in data units, not bitwise; workflows that need a
+    # decoder-exact reconstruction (the delta/predictive chains, the
+    # exact-value patch) must pin a deterministic backend — DirectCompressor
+    # normalises "auto" to a fixed choice at construction for this reason.
     decode_backend: str = "auto"
 
     def __post_init__(self):
@@ -89,6 +93,10 @@ class EBCCConfig:
             raise ValueError(
                 f"DWT levels are capped at {MAX_LEVELS} (format limit: "
                 "decoders reject deeper streams)")
+        if self.decode_backend not in ("auto", "cpu", "device"):
+            raise ValueError(
+                f"decode_backend must be 'auto', 'cpu' or 'device', "
+                f"got {self.decode_backend!r}")
 
 
 def base_error_quantile(default: float = 1e-6) -> float:

@@ -47,10 +47,25 @@ class DirectCompressor:
 
     def __init__(self, base_cr: float = 100.0, ratio: float = 1.0,
                  config: EBCCConfig | None = None):
+        import dataclasses
+
+        from ..runtime import native as _native
         self.ratio = float(ratio)
         self.config = config or EBCCConfig(
             mode=ResidualMode.POINTWISE_MAX_ERROR, base_cr=base_cr,
             pointwise_max_error_ratio=ratio)
+        if self.config.decode_backend == "auto":
+            # the exact-value patch is computed against decompress()'s
+            # reconstruction, so compress and EVERY later decompress must
+            # reconstruct identically — "auto" resolves differently per
+            # machine (tunnel vs PCIe), which would let a near-threshold
+            # unpatched point drift past the bound.  Pin the deterministic
+            # backend: the native CPU decoder when built (bit-stable
+            # across hosts, the role the reference's C library plays),
+            # else the device path.
+            self.config = dataclasses.replace(
+                self.config,
+                decode_backend="cpu" if _native.HAVE_NATIVE else "device")
 
     # -- patch encoding (direct_wrapper.py:85-100) --------------------------
     # Like the reference's stack-B failure coding (image_compression.py:
