@@ -100,3 +100,32 @@ def test_rejects_unshardable_geometry():
     # deepest of 5 levels
     with pytest.raises(ValueError):
         SpatialFrameCodec(96, 160, cfg, mesh)
+
+
+def test_spatial_pointwise_targets(stack):
+    """Pointwise (per-point) targets shard over the space axis too."""
+    import jax.numpy as jnp
+
+    from ebcc_tpu.ops import bitplane as bp
+    cfg = EBCCConfig(mode=ResidualMode.POINTWISE_MAX_ERROR, max_batch=B)
+    mesh = make_mesh(n_data=4, n_space=2)
+    sc = SpatialShardedCodec(H, W, cfg, mesh)
+    rng = np.random.default_rng(9)
+    eb = rng.uniform(0.1, 0.6, stack.shape).astype(np.float32)
+    res = sc.encode_error_bounded(stack, eb * (1 - 1e-8), 1e-6)
+    codec = sc.codec
+    an_b = bp.analyze(jnp.asarray(np.asarray(res.base_coef), jnp.int32),
+                      codec.base.spec)
+    use_pure = ~res.skip_residual & ~res.resid_feasible
+    bs = jnp.where(use_pure, res.bs_pure, res.bs_q)
+    ks = jnp.where(use_pure, res.ks_pure, res.ks_q)
+    rec = codec._base_recon(codec._recon_at(an_b, codec.base, bs, ks),
+                            res.mn, res.mx, res.dc_b)
+    an_r = bp.analyze(jnp.asarray(np.asarray(res.resid_coef), jnp.int32),
+                      codec.resid.spec)
+    rec_r = codec._resid_recon(
+        codec._recon_at(an_r, codec.resid, res.bs_r, res.ks_r),
+        res.rmin, res.rmax, res.dc_r)
+    has_r = (~res.skip_residual & res.resid_feasible)[:, None, None]
+    out = np.asarray(rec + jnp.where(has_r, rec_r, 0.0))
+    assert np.all(np.abs(out - stack) <= eb)
