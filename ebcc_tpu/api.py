@@ -87,11 +87,42 @@ def _codec_for_cached(h: int, w: int, config: EBCCConfig) -> FrameCodec:
 def _codec_for(h: int, w: int, config: EBCCConfig) -> FrameCodec:
     import dataclasses
 
-    # decode_backend is pure routing — it affects nothing inside the
-    # jitted pipeline, so normalise it out of the cache key (a decode-only
+    # the backend flags are pure routing — they affect nothing inside the
+    # jitted pipeline, so normalise them out of the cache key (a routing
     # flag change must not re-trace/compile the whole codec)
     return _codec_for_cached(
-        h, w, dataclasses.replace(config, decode_backend="auto"))
+        h, w, dataclasses.replace(config, decode_backend="auto",
+                                  encode_backend="auto"))
+
+
+def _on_tunnel() -> bool:
+    """Tunnel-attached devices register through the "axon" plugin (the
+    devices themselves report platform "tpu"; the plugin name is in the
+    platform list)."""
+    return "axon" in (jax.config.jax_platforms or "")
+
+
+def _use_cpu_encode(config: EBCCConfig, n_frames: int) -> bool:
+    """Resolve the encode backend (config.encode_backend).
+
+    "auto" chooses the native CPU encoder on tunnel-attached devices for
+    error-bounded jobs of at most one device batch: a one-shot small
+    encode there pays minutes of remote compile plus link transfers,
+    while the CPU encoder runs in ~0.5 s/frame and emits byte-identical
+    containers (tests/test_cpu_encoder.py).
+    """
+    mode = config.encode_backend
+    if mode == "cpu":
+        if not _native.HAVE_NATIVE:
+            raise RuntimeError("encode_backend='cpu' needs the native "
+                               "runtime (make -C native)")
+        return True
+    if mode != "auto" or not _native.HAVE_NATIVE:
+        return False
+    return (_on_tunnel() and n_frames <= config.max_batch and
+            config.mode in (ResidualMode.MAX_ERROR,
+                            ResidualMode.RELATIVE_ERROR,
+                            ResidualMode.POINTWISE_MAX_ERROR))
 
 
 def _words_to_bytes(words: np.ndarray, nbits: int) -> bytes:
@@ -152,10 +183,16 @@ def compress(data, config: EBCCConfig | None = None, *,
             config, base_levels=min(config.base_levels, max_lv),
             residual_levels=min(config.residual_levels, max_lv))
     n = frames.shape[0]
-    codec = codec or _codec_for(h, w, config)
     mode = config.mode
     if qbase is None:
         qbase = base_error_quantile()
+    if codec is None and _use_cpu_encode(config, n):
+        # byte-identical containers from the native encoder, with no
+        # device compile or link transfers (see _use_cpu_encode)
+        from .runtime import cpu_encoder
+        return cpu_encoder.compress(frames, config,
+                                    error_bound=error_bound, qbase=qbase)
+    codec = codec or _codec_for(h, w, config)
     pointwise = mode == ResidualMode.POINTWISE_MAX_ERROR
     if pointwise:
         if error_bound is None:
@@ -531,10 +568,7 @@ def _use_cpu_decode(config: EBCCConfig) -> bool:
         return True
     if mode != "auto" or not _native.HAVE_NATIVE:
         return False
-    # tunnel-attached devices register through the "axon" plugin (the
-    # devices themselves report platform "tpu"; the plugin name is in the
-    # platform list)
-    return "axon" in (jax.config.jax_platforms or "")
+    return _on_tunnel()
 
 
 def _check_uniform_geometry(metas) -> None:

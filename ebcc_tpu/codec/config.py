@@ -78,12 +78,19 @@ class EBCCConfig:
     # standalone decoder, no device round trip), or "auto" — cpu on
     # tunnel-attached devices (platform "axon", where the decompressed-
     # output d2h transfer dominates wall time; see BENCHMARKS.md), device
-    # otherwise.  Encoding always runs on the device.  The two backends
-    # agree to ~1e-3 in data units, not bitwise; workflows that need a
-    # decoder-exact reconstruction (the delta/predictive chains, the
-    # exact-value patch) must pin a deterministic backend — DirectCompressor
-    # normalises "auto" to a fixed choice at construction for this reason.
+    # otherwise.  The two backends agree to ~1e-3 in data units, not
+    # bitwise; workflows that need a decoder-exact reconstruction (the
+    # delta/predictive chains, the exact-value patch) must pin a
+    # deterministic backend — DirectCompressor normalises "auto" to a
+    # fixed choice at construction for this reason.
     decode_backend: str = "auto"
+    # encoding backend: "device", "cpu" (the native standalone encoder),
+    # or "auto" — the native encoder on tunnel-attached devices for
+    # error-bounded jobs of at most one batch (a one-shot small encode
+    # there pays minutes of remote compile + link transfers, while the
+    # CPU encoder does ~0.5 s/frame and emits byte-identical containers);
+    # the device everywhere else.
+    encode_backend: str = "auto"
 
     def __post_init__(self):
         if self.mode == ResidualMode.QUANTILE:
@@ -97,6 +104,10 @@ class EBCCConfig:
             raise ValueError(
                 f"decode_backend must be 'auto', 'cpu' or 'device', "
                 f"got {self.decode_backend!r}")
+        if self.encode_backend not in ("auto", "cpu", "device"):
+            raise ValueError(
+                f"encode_backend must be 'auto', 'cpu' or 'device', "
+                f"got {self.encode_backend!r}")
 
 
 def base_error_quantile(default: float = 1e-6) -> float:
