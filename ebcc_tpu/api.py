@@ -202,7 +202,6 @@ def compress(data, config: EBCCConfig | None = None, *,
         # (j2k_codec.h:842-845)
         eb = eb * config.pointwise_max_error_ratio * (1 - 1e-8)
 
-    out_frames = []
     # a call smaller than max_batch compiles/pads at its own size instead
     # of padding up by repetition (single-slice callers like the delta
     # chains would otherwise pay max_batch x the compute)
@@ -226,9 +225,16 @@ def compress(data, config: EBCCConfig | None = None, *,
                 pass
         streams = _pack_streams(resn, codec, rd)
         zblobs = _zstd_stage(resn, streams, nb_valid, config)
-        for i in range(nb_valid):
-            out_frames.append(_assemble_frame(resn, i, h, w, config, mode,
-                                              streams, zblobs))
+        return [_assemble_frame(resn, i, h, w, config, mode,
+                                streams, zblobs) for i in range(nb_valid)]
+
+    # NOTE: drains are deliberately serial on the caller's thread.  An
+    # experiment running them in a thread pool (to overlap one batch's
+    # link fetches with another's host packing) slowed the tunnelled
+    # device transport by ~70x — concurrent fetches from multiple threads
+    # thrash the link client.  The async copy_to_host_async prefetches
+    # already provide the useful overlap.
+    drained = []  # per-batch frame lists, in order
 
     for lo, hi in _batches(n, bsz):
         batch = frames[lo:hi]
@@ -273,9 +279,10 @@ def compress(data, config: EBCCConfig | None = None, *,
                 break
         pending.append((hi - lo, res))
         if len(pending) > config.prefetch_batches:
-            drain(pending.pop(0))
+            drained.append(drain(pending.pop(0)))
     while pending:
-        drain(pending.pop(0))
+        drained.append(drain(pending.pop(0)))
+    out_frames = [f for frames_ in drained for f in frames_]
     return container.pack_blob(out_frames)
 
 
