@@ -67,10 +67,11 @@ def compress(data, config: EBCCConfig | None = None, *, error_bound=None,
 
     enc = _fn(lib)
     cap = 8 * h * w + 65536
-    out = np.zeros(cap, np.uint8)
-    out_p = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-    blobs = []
-    for i in range(frames.shape[0]):
+    disable_pure = 1 if pure_fallback_disabled() else 0
+    blobs: list = [None] * frames.shape[0]
+
+    def run(i):
+        out = np.zeros(cap, np.uint8)
         t = (targets[i].ctypes.data_as(ctypes.POINTER(ctypes.c_float))
              if targets is not None else None)
         sz = enc(
@@ -78,13 +79,26 @@ def compress(data, config: EBCCConfig | None = None, *, error_bound=None,
             ctypes.c_int(h), ctypes.c_int(w), ctypes.c_int(int(mode)),
             ctypes.c_float(error), ctypes.c_float(config.base_cr),
             ctypes.c_float(residual_cr), ctypes.c_float(qbase),
-            ctypes.c_int(1 if pure_fallback_disabled() else 0),
+            ctypes.c_int(disable_pure),
             ctypes.c_int(config.base_levels),
             ctypes.c_int(config.residual_levels),
             ctypes.c_int(config.nchunks), ctypes.c_int(config.base_nplanes),
             ctypes.c_int(config.residual_nplanes),
-            ctypes.c_int(config.zstd_level), out_p, ctypes.c_int64(cap))
+            ctypes.c_int(config.zstd_level),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(cap))
         if sz < 0:
             raise RuntimeError(f"cpu encode failed: {sz}")
-        blobs.append(out[:sz].tobytes())
+        blobs[i] = out[:sz].tobytes()
+
+    import os
+    n = frames.shape[0]
+    nthreads = min(n, os.cpu_count() or 1)
+    if nthreads > 1:  # the ctypes calls release the GIL
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=nthreads) as ex:
+            list(ex.map(run, range(n)))
+    else:
+        for i in range(n):
+            run(i)
     return container.pack_blob(blobs)

@@ -31,10 +31,12 @@
 
 #include <zstd.h>
 
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 // ---- minimal, stable HDF5 plugin ABI declarations ----
@@ -257,26 +259,44 @@ bool parse_cd(size_t cd_nelmts, const unsigned int* cd_values, EncCfg* c) {
   return true;
 }
 
-// encode d frames; returns the chunk payload (bare frame or EBTB blob)
+// encode d frames (multi-frame chunks fan out over host threads);
+// returns the chunk payload (bare frame or EBTB blob)
 bool encode_frames(const float* data, const float* targets, uint32_t d,
                    uint32_t h, uint32_t w, const EncCfg& c,
                    std::vector<uint8_t>& out) {
   size_t n = (size_t)h * w;
   int64_t cap = (int64_t)8 * n + 65536;
-  std::vector<uint8_t> frame(cap);
   std::vector<std::vector<uint8_t>> parts(d);
   float error = 0.0f, residual_cr = 10.0f;
   if (c.mode == 2 || c.mode == 3) error = c.param;
   if (c.mode == 1) residual_cr = c.param;
-  for (uint32_t i = 0; i < d; ++i) {
+  std::atomic<bool> ok{true};
+  auto run = [&](uint32_t i) {
+    std::vector<uint8_t> frame(cap);
     int64_t sz = ebcc_cpu_encode_frame(
         data + (size_t)i * n, targets ? targets + (size_t)i * n : nullptr,
         (int)h, (int)w, c.mode, error, c.base_cr, residual_cr, c.qbase,
         c.disable_pure_fallback, kBaseLevels, kResidLevels, kNchunks,
         kBaseNplanes, kResidNplanes, kZstdLevel, frame.data(), cap);
-    if (sz < 0) return false;
+    if (sz < 0) {
+      ok = false;
+      return;
+    }
     parts[i].assign(frame.begin(), frame.begin() + sz);
+  };
+  unsigned nthreads = std::min<unsigned>(
+      d, std::max(1u, std::thread::hardware_concurrency()));
+  if (nthreads <= 1) {
+    for (uint32_t i = 0; i < d; ++i) run(i);
+  } else {
+    std::vector<std::thread> ts;
+    for (unsigned t = 0; t < nthreads; ++t)
+      ts.emplace_back([&, t]() {
+        for (uint32_t i = t; i < d; i += nthreads) run(i);
+      });
+    for (auto& th : ts) th.join();
   }
+  if (!ok) return false;
   if (d == 1) {
     out = std::move(parts[0]);
     return true;
