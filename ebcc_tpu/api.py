@@ -191,7 +191,8 @@ def compress(data, config: EBCCConfig | None = None, *,
         # device compile or link transfers (see _use_cpu_encode)
         from .runtime import cpu_encoder
         return cpu_encoder.compress(frames, config,
-                                    error_bound=error_bound, qbase=qbase)
+                                    error_bound=error_bound, qbase=qbase,
+                                    _validated=True)
     codec = codec or _codec_for(h, w, config)
     pointwise = mode == ResidualMode.POINTWISE_MAX_ERROR
     if pointwise:

@@ -33,22 +33,25 @@ def _fn(lib):
 
 
 def compress(data, config: EBCCConfig | None = None, *, error_bound=None,
-             qbase: float | None = None) -> bytes:
+             qbase: float | None = None, _validated: bool = False) -> bytes:
     """Compress ``data`` ([..., H, W] float32) into a container blob on the
     CPU.  Mirrors :func:`ebcc_tpu.api.compress` (same modes, same blob
-    format, byte-identical output)."""
+    format, byte-identical output).  ``_validated``: the caller already
+    ran the shape/finiteness checks (api.compress's auto-routing) — skip
+    the second full-array scan."""
     lib = _native._load()
     if lib is None:
         raise RuntimeError("native runtime unavailable (make -C native)")
     config = config or EBCCConfig()
     data = np.asarray(data, np.float32)
-    if data.ndim < 2:
-        raise ValueError("data must be at least 2-D")
+    if not _validated:
+        if data.ndim < 2:
+            raise ValueError("data must be at least 2-D")
+        if min(data.shape[-2], data.shape[-1]) < 4:
+            raise ValueError("frames must be at least 4x4")
     h, w = data.shape[-2], data.shape[-1]
-    if min(h, w) < 4:
-        raise ValueError("frames must be at least 4x4")
     frames = np.ascontiguousarray(data.reshape(-1, h, w))
-    if not np.isfinite(frames).all():
+    if not _validated and not np.isfinite(frames).all():
         raise ValueError("NaN or Inf in data (j2k_codec.h:451-458)")
     mode = config.mode
     if qbase is None:

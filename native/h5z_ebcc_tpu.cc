@@ -272,17 +272,24 @@ bool encode_frames(const float* data, const float* targets, uint32_t d,
   if (c.mode == 1) residual_cr = c.param;
   std::atomic<bool> ok{true};
   auto run = [&](uint32_t i) {
-    std::vector<uint8_t> frame(cap);
-    int64_t sz = ebcc_cpu_encode_frame(
-        data + (size_t)i * n, targets ? targets + (size_t)i * n : nullptr,
-        (int)h, (int)w, c.mode, error, c.base_cr, residual_cr, c.qbase,
-        c.disable_pure_fallback, kBaseLevels, kResidLevels, kNchunks,
-        kBaseNplanes, kResidNplanes, kZstdLevel, frame.data(), cap);
-    if (sz < 0) {
+    if (!ok) return;  // a sibling frame already failed: stop early
+    // exceptions must not escape a worker thread (std::terminate would
+    // abort the whole host process; the filter entry's catch can't help)
+    try {
+      std::vector<uint8_t> frame(cap);
+      int64_t sz = ebcc_cpu_encode_frame(
+          data + (size_t)i * n, targets ? targets + (size_t)i * n : nullptr,
+          (int)h, (int)w, c.mode, error, c.base_cr, residual_cr, c.qbase,
+          c.disable_pure_fallback, kBaseLevels, kResidLevels, kNchunks,
+          kBaseNplanes, kResidNplanes, kZstdLevel, frame.data(), cap);
+      if (sz < 0) {
+        ok = false;
+        return;
+      }
+      parts[i].assign(frame.begin(), frame.begin() + sz);
+    } catch (...) {
       ok = false;
-      return;
     }
-    parts[i].assign(frame.begin(), frame.begin() + sz);
   };
   unsigned nthreads = std::min<unsigned>(
       d, std::max(1u, std::thread::hardware_concurrency()));

@@ -41,13 +41,29 @@ def main():
     mode_name = {"max_error": "max_error_target",
                  "relative_error": "relative_error_target"}[args.mode]
 
+    def copy_attrs(src_obj, dst_obj):
+        """Copy attributes, skipping HDF5 object-reference attrs
+        (netCDF's DIMENSION_LIST/REFERENCE_LIST point at objects of the
+        SOURCE file; copying the raw references would leave dangling
+        tokens in the output)."""
+        for k in src_obj.attrs:
+            try:
+                if h5py.check_ref_dtype(src_obj.attrs.get_id(k).dtype):
+                    continue
+            except Exception:
+                pass
+            v = src_obj.attrs[k]
+            if isinstance(v, h5py.Reference) or (
+                    isinstance(v, np.ndarray) and v.dtype == object):
+                continue
+            dst_obj.attrs[k] = v
+
     stats = []
     with h5py.File(args.input, "r") as src, \
             h5py.File(args.output, "w") as dst:
         def visit(name, obj):
             if isinstance(obj, h5py.Group):
-                g = dst.require_group(name)
-                g.attrs.update(obj.attrs)
+                copy_attrs(obj, dst.require_group(name))
                 return
             if (obj.dtype.kind == "f" and obj.ndim >= 2 and
                     obj.shape[-1] >= 4 and obj.shape[-2] >= 4):
@@ -57,29 +73,38 @@ def main():
                     width=data.shape[-1], data_dim=data.ndim,
                     residual_opt=(mode_name, args.error))
                 t0 = time.perf_counter()
+                # the dataset keeps the source SHAPE in both modes; only
+                # where the chunks are compressed differs
+                d = whdf5.create_filtered_dataset(dst, name, data.shape,
+                                                  params)
                 if args.device:
-                    d = whdf5.write_filtered_dataset(
-                        dst.require_group(os.path.dirname(name) or "/"),
-                        os.path.basename(name), data, params.to_config())
+                    from ebcc_tpu import api
+                    from ebcc_tpu.codec import container as _c
+                    h, w = data.shape[-2], data.shape[-1]
+                    blob = api.compress(data, params.to_config())
+                    for idx, fb in zip(np.ndindex(data.shape[:-2]),
+                                       _c.unpack_blob(blob)):
+                        d.id.write_direct_chunk((*idx, 0, 0), fb,
+                                                filter_mask=0)
                 else:
-                    d = whdf5.create_filtered_dataset(
-                        dst, name, data.shape, params)
-                    d[...] = data
+                    d[...] = data  # plugin CPU encoder per chunk
                 dt = time.perf_counter() - t0
                 stored = d.id.get_storage_size()
                 stats.append(dict(name=name, bytes=int(stored),
+                                  raw_bytes=int(data.nbytes),
                                   cr=data.nbytes / max(stored, 1),
                                   seconds=round(dt, 2)))
                 print(json.dumps(stats[-1]))
             else:
                 d = dst.create_dataset(name, data=obj[...])
-            d.attrs.update(obj.attrs)
+            copy_attrs(obj, d)
 
         src.visititems(visit)
-        dst.attrs.update(src.attrs)
-    total_cr = (sum(s["bytes"] / s["cr"] for s in stats) /
-                max(sum(s["bytes"] for s in stats), 1))
+        copy_attrs(src, dst)
+    total_raw = sum(s["raw_bytes"] for s in stats)
+    total_stored = sum(s["bytes"] for s in stats)
     print(json.dumps({"datasets": len(stats),
+                      "total_cr": total_raw / max(total_stored, 1),
                       "output_bytes": os.path.getsize(args.output)}))
     return 0
 
