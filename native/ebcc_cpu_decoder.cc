@@ -74,22 +74,72 @@ void idwt1d(float* x, int n, float* tmp) {
   }
 }
 
+// inverse column lifting on a BLOCK of bc contiguous columns (rows are
+// strided W floats apart): same per-element arithmetic as idwt1d applied
+// along axis 0, but each cache line is touched once per step instead of
+// once per element (the col-by-col gather/scatter was the decoder's
+// dominant cost).  tmp must hold n*bc floats.
+void idwt1d_cols_block(float* x, int n, int W, int bc, float* tmp) {
+  int n2 = n / 2;
+  float* s = tmp;            // [n2][bc]
+  float* d = tmp + (size_t)n2 * bc;
+  for (int i = 0; i < n2; ++i)
+    for (int c = 0; c < bc; ++c) s[(size_t)i * bc + c] =
+        x[(size_t)i * W + c] * RECIP_XI;
+  for (int i = 0; i < n2; ++i)
+    for (int c = 0; c < bc; ++c) d[(size_t)i * bc + c] =
+        x[(size_t)(n2 + i) * W + c] * XI;
+  for (int i = 0; i < n2; ++i) {
+    const float* dp = d + (size_t)(i == 0 ? (1 < n2 ? 1 : 0) : i - 1) * bc;
+    float* si = s + (size_t)i * bc;
+    const float* di = d + (size_t)i * bc;
+    for (int c = 0; c < bc; ++c)
+      si[c] = std::fma(-DELTA, di[c] + dp[c], si[c]);
+  }
+  for (int i = 0; i < n2; ++i) {
+    const float* sn = s + (size_t)(i + 1 < n2 ? i + 1 : n2 - 2) * bc;
+    float* di = d + (size_t)i * bc;
+    const float* si = s + (size_t)i * bc;
+    for (int c = 0; c < bc; ++c)
+      di[c] = std::fma(-GAMMA, si[c] + sn[c], di[c]);
+  }
+  for (int i = 0; i < n2; ++i) {
+    const float* dp = d + (size_t)(i == 0 ? (1 < n2 ? 1 : 0) : i - 1) * bc;
+    float* si = s + (size_t)i * bc;
+    const float* di = d + (size_t)i * bc;
+    for (int c = 0; c < bc; ++c)
+      si[c] = std::fma(-BETA, di[c] + dp[c], si[c]);  // s now holds even
+  }
+  for (int i = 0; i < n2; ++i) {
+    const float* en = s + (size_t)(i + 1 < n2 ? i + 1 : n2 - 1) * bc;
+    float* di = d + (size_t)i * bc;
+    const float* si = s + (size_t)i * bc;
+    for (int c = 0; c < bc; ++c)
+      di[c] = std::fma(-ALPHA, si[c] + en[c], di[c]);  // d now holds odd
+  }
+  for (int i = 0; i < n2; ++i) {
+    memcpy(x + (size_t)(2 * i) * W, s + (size_t)i * bc,
+           bc * sizeof(float));
+    memcpy(x + (size_t)(2 * i + 1) * W, d + (size_t)i * bc,
+           bc * sizeof(float));
+  }
+}
+
 // one inverse 2-D level over the top-left (hh, ww) region of an [H, W]
 // plane: columns first, then rows (ops/dwt.py idwt2d)
-void idwt2d_level(float* x, int hh, int ww, int W, float* tmp, float* col) {
-  for (int c = 0; c < ww; ++c) {
-    for (int r = 0; r < hh; ++r) col[r] = x[(size_t)r * W + c];
-    idwt1d(col, hh, tmp);
-    for (int r = 0; r < hh; ++r) x[(size_t)r * W + c] = col[r];
-  }
+void idwt2d_level(float* x, int hh, int ww, int W, float* tmp,
+                  float* coltmp) {
+  constexpr int BC = 128;
+  for (int c0 = 0; c0 < ww; c0 += BC)
+    idwt1d_cols_block(x + c0, hh, W, std::min(BC, ww - c0), coltmp);
   for (int r = 0; r < hh; ++r) idwt1d(x + (size_t)r * W, ww, tmp);
 }
 
 void idwt2d_multi(float* x, int H, int W, int levels) {
   std::vector<float> tmp(std::max(H, W));
-  std::vector<float> col(H);
+  std::vector<float> coltmp((size_t)H * 128);
   for (int i = levels - 1; i >= 0; --i)
-    idwt2d_level(x, H >> i, W >> i, W, tmp.data(), col.data());
+    idwt2d_level(x, H >> i, W >> i, W, tmp.data(), coltmp.data());
 }
 
 // ---- per-subband weights (ops/weights.py semantics) ----

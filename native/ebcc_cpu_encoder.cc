@@ -113,22 +113,76 @@ void fdwt1d(float* x, int n, float* tmp) {
   }
 }
 
+// forward column lifting on a BLOCK of bc contiguous columns (rows
+// strided W apart): same per-element arithmetic as fdwt1d along axis 0,
+// restructured so each cache line is touched once per step (the
+// col-by-col gather/scatter dominated the transform cost).  tmp must
+// hold n*bc floats.
+void fdwt1d_cols_block(float* x, int n, int W, int bc, float* tmp) {
+  int n2 = n / 2;
+  float* s = tmp;            // even rows -> approximation
+  float* d = tmp + (size_t)n2 * bc;
+  for (int i = 0; i < n2; ++i) {
+    memcpy(s + (size_t)i * bc, x + (size_t)(2 * i) * W,
+           bc * sizeof(float));
+    memcpy(d + (size_t)i * bc, x + (size_t)(2 * i + 1) * W,
+           bc * sizeof(float));
+  }
+  for (int i = 0; i < n2; ++i) {
+    const float* en = s + (size_t)(i + 1 < n2 ? i + 1 : n2 - 1) * bc;
+    float* di = d + (size_t)i * bc;
+    const float* si = s + (size_t)i * bc;
+    for (int c = 0; c < bc; ++c)
+      di[c] = std::fma(ALPHA, si[c] + en[c], di[c]);
+  }
+  for (int i = 0; i < n2; ++i) {
+    const float* dp = d + (size_t)(i == 0 ? 1 : i - 1) * bc;
+    float* si = s + (size_t)i * bc;
+    const float* di = d + (size_t)i * bc;
+    for (int c = 0; c < bc; ++c)
+      si[c] = std::fma(BETA, di[c] + dp[c], si[c]);
+  }
+  for (int i = 0; i < n2; ++i) {
+    const float* sn = s + (size_t)(i + 1 < n2 ? i + 1 : n2 - 2) * bc;
+    float* di = d + (size_t)i * bc;
+    const float* si = s + (size_t)i * bc;
+    for (int c = 0; c < bc; ++c)
+      di[c] = std::fma(GAMMA, si[c] + sn[c], di[c]);
+  }
+  for (int i = 0; i < n2; ++i) {
+    const float* dp = d + (size_t)(i == 0 ? 1 : i - 1) * bc;
+    float* si = s + (size_t)i * bc;
+    const float* di = d + (size_t)i * bc;
+    for (int c = 0; c < bc; ++c)
+      si[c] = std::fma(DELTA, di[c] + dp[c], si[c]);
+  }
+  for (int i = 0; i < n2; ++i) {
+    float* lo = x + (size_t)i * W;
+    float* hi = x + (size_t)(n2 + i) * W;
+    const float* si = s + (size_t)i * bc;
+    const float* di = d + (size_t)i * bc;
+    for (int c = 0; c < bc; ++c) {
+      lo[c] = si[c] * XI;
+      hi[c] = di[c] * RECIP_XI;
+    }
+  }
+}
+
 // one forward 2-D level on the top-left (hh, ww) region: rows then columns
 // (ops/dwt.py dwt2d)
-void fdwt2d_level(float* x, int hh, int ww, int W, float* tmp, float* col) {
+void fdwt2d_level(float* x, int hh, int ww, int W, float* tmp,
+                  float* coltmp) {
   for (int r = 0; r < hh; ++r) fdwt1d(x + (size_t)r * W, ww, tmp);
-  for (int c = 0; c < ww; ++c) {
-    for (int r = 0; r < hh; ++r) col[r] = x[(size_t)r * W + c];
-    fdwt1d(col, hh, tmp);
-    for (int r = 0; r < hh; ++r) x[(size_t)r * W + c] = col[r];
-  }
+  constexpr int BC = 128;
+  for (int c0 = 0; c0 < ww; c0 += BC)
+    fdwt1d_cols_block(x + c0, hh, W, std::min(BC, ww - c0), coltmp);
 }
 
 void fdwt2d_multi(float* x, int H, int W, int levels) {
   std::vector<float> tmp(std::max(H, W));
-  std::vector<float> col(H);
+  std::vector<float> coltmp((size_t)H * 128);
   for (int i = 0; i < levels; ++i)
-    fdwt2d_level(x, H >> i, W >> i, W, tmp.data(), col.data());
+    fdwt2d_level(x, H >> i, W >> i, W, tmp.data(), coltmp.data());
 }
 
 // ---- framing (ops/frame.py) ----
