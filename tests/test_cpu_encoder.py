@@ -226,3 +226,14 @@ class TestWriteCapableFilter:
         with h5py.File(path, "r") as f:
             with pytest.raises(Exception):
                 f["x"][:]
+
+
+def test_byte_identity_odd_geometry(era5_frame):
+    """Non-tile-aligned dims (odd h/w, heavy mirror padding) keep the
+    native/JAX byte-identity."""
+    data = np.ascontiguousarray(era5_frame[:67, :93])
+    cfg = EBCCConfig(mode=ResidualMode.MAX_ERROR, error=0.2, max_batch=1)
+    blob = cpu_encoder.compress(data, cfg)
+    assert blob == api.compress(data, cfg)
+    rec = cpu_decoder.decompress(blob)[0]
+    assert np.abs(rec - data).max() <= 0.2
