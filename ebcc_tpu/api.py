@@ -217,6 +217,7 @@ def compress(data, config: EBCCConfig | None = None, *,
         # the flags and only that one is pulled over the link
         resn = jax.device_get({k: v for k, v in rd.items()
                                if k not in _DEFERRED_FIELDS})
+        _check_plane_budget(resn, config)
         if not np.all(resn["const"] | resn["skip_residual"]):
             # some frame keeps residual bits: start its typical transfer
             # form moving now so it overlaps the base-layer host packing
@@ -370,6 +371,8 @@ def compress_multi_q(data, qs, config: EBCCConfig | None = None, *,
              if k not in _DEFERRED_FIELDS and k not in _PER_Q_FIELDS},
             [{f: r._asdict()[f] for f in _PER_Q_FIELDS
               if f not in _DEFERRED_FIELDS} for r in res_list]))
+        for pq in perq_all:
+            _check_plane_budget(dict(shared, **pq), config)
         # one base arena serves every candidate's truncation (embedded
         # streams: all candidate rates are prefixes)
         trunc_b = np.maximum.reduce(
@@ -498,6 +501,20 @@ def _pack_streams(res, codec, rd):
 def _geom(config):
     return (config.base_levels, config.residual_levels, config.nchunks,
             config.base_nplanes, config.residual_nplanes)
+
+
+def _check_plane_budget(res, config) -> None:
+    """Coefficients above the top scanned plane cannot be represented in
+    the stream, while the closed-form search believed they were — a
+    silent bound violation (and the packer may write out of bounds).  The
+    default plane counts cover any u16 input by construction; user-
+    lowered counts must fail loudly BEFORE packing (the native encoder
+    returns -3 for the same condition)."""
+    if (int(np.max(res["max_step_b"])) >= config.base_nplanes or
+            int(np.max(res["max_step_r"])) >= config.residual_nplanes):
+        raise ValueError(
+            "coefficient magnitudes exceed the configured bitplane budget; "
+            "raise base_nplanes/residual_nplanes")
 
 
 def _assemble_frame(res, i, h, w, config, mode, streams, zblobs) -> bytes:

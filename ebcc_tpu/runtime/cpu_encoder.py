@@ -90,6 +90,10 @@ def compress(data, config: EBCCConfig | None = None, *, error_bound=None,
             ctypes.c_int(config.zstd_level),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.c_int64(cap))
+        if sz == -3:
+            raise ValueError(
+                "coefficient magnitudes exceed the configured bitplane "
+                "budget; raise base_nplanes/residual_nplanes")
         if sz < 0:
             raise RuntimeError(f"cpu encode failed: {sz}")
         blobs[i] = out[:sz].tobytes()

@@ -237,3 +237,32 @@ def test_byte_identity_odd_geometry(era5_frame):
     assert blob == api.compress(data, cfg)
     rec = cpu_decoder.decompress(blob)[0]
     assert np.abs(rec - data).max() <= 0.2
+
+
+@pytest.mark.slow
+def test_byte_identity_across_coder_geometries(small_frame):
+    """The count tables / stream layout depend on (levels, nchunks,
+    nplanes); the native and JAX coders must agree for non-default
+    geometries too."""
+    for bl, rl, nc, bp_, rp in ((4, 2, 4, 22, 16),
+                                (3, 3, 16, 22, 15),
+                                (5, 1, 2, 24, 14)):
+        cfg = EBCCConfig(mode=ResidualMode.MAX_ERROR, error=0.1,
+                         base_levels=bl, residual_levels=rl, nchunks=nc,
+                         base_nplanes=bp_, residual_nplanes=rp, max_batch=1)
+        blob = cpu_encoder.compress(small_frame, cfg)
+        assert blob == api.compress(small_frame, cfg), (bl, rl, nc)
+        rec = cpu_decoder.decompress(blob)[0]
+        assert np.abs(rec - small_frame).max() <= 0.1
+
+
+def test_insufficient_nplanes_fails_loudly(small_frame):
+    """Coefficients above the top scanned plane are unrepresentable; both
+    encoders must refuse (the JAX path previously emitted a silently
+    corrupt stream — caught by the geometry differential test)."""
+    cfg = EBCCConfig(mode=ResidualMode.MAX_ERROR, error=0.1,
+                     base_nplanes=10, max_batch=1)
+    with pytest.raises(ValueError, match="bitplane budget"):
+        api.compress(small_frame, cfg)
+    with pytest.raises(ValueError, match="bitplane budget"):
+        cpu_encoder.compress(small_frame, cfg)
