@@ -27,6 +27,15 @@ BASELINE_GRID_POINTS_PER_S = 2.0e6
 def main():
     import jax
 
+    # persistent compilation cache: repeated bench runs skip the multi-
+    # minute pipeline compile (results unaffected; programs are keyed by
+    # their HLO)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     import ebcc_tpu
     from ebcc_tpu import EBCCConfig, ResidualMode
 

@@ -19,6 +19,16 @@ import jax
 if "axon" in (jax.config.jax_platforms or ""):
     jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the full pipeline compiles in 40-90 s per
+# geometry on this 1-core host; cached executables cut suite re-runs by
+# many minutes.  Purely a dev-velocity knob — traced programs are keyed
+# by their HLO, so results are unaffected.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 import numpy as np
 import pytest
 
