@@ -39,8 +39,14 @@ class DeltaCompressor:
     """
 
     def __init__(self, base_cr: float = 100.0, ratio: float = 1.0,
-                 direct: DirectCompressor | None = None):
-        self.direct = direct or DirectCompressor(base_cr=base_cr, ratio=ratio)
+                 direct: DirectCompressor | None = None,
+                 rate_candidates=None):
+        """``rate_candidates``: optional base-quantile candidates; when
+        set, every direct pass AND every delta probe is rate-optimised
+        per slice (the reference golden-section-optimises each delta
+        slice, image_compression_delta.py:63-75)."""
+        self.direct = direct or DirectCompressor(
+            base_cr=base_cr, ratio=ratio, rate_candidates=rate_candidates)
 
     def compress(self, data, error_bound) -> bytes:
         """Compress [L, ..., H, W] against per-point (or scalar) bounds.

@@ -46,11 +46,20 @@ class DirectCompressor:
     """
 
     def __init__(self, base_cr: float = 100.0, ratio: float = 1.0,
-                 config: EBCCConfig | None = None):
+                 config: EBCCConfig | None = None, rate_candidates=None):
         import dataclasses
 
         from ..runtime import native as _native
         self.ratio = float(ratio)
+        # per-slice rate optimisation: sweep these base-quantile candidates
+        # (one pipelined multi-q dispatch, models/rate_opt.py engine) and
+        # keep, per slice, the smallest TOTAL encoding including the
+        # exact-value patch — the role of the per-slice golden-section
+        # search in the reference's delta codec
+        # (image_compression_delta.py:63-75 optimises every slice;
+        # selection includes fail values, delta_compression.py:301-389).
+        self.rate_candidates = (tuple(float(q) for q in rate_candidates)
+                                if rate_candidates else None)
         self.config = config or EBCCConfig(
             mode=ResidualMode.POINTWISE_MAX_ERROR, base_cr=base_cr,
             pointwise_max_error_ratio=ratio)
@@ -191,6 +200,10 @@ class DirectCompressor:
         second decode round trip.
         """
         data = np.asarray(data, np.float32)
+        if self.rate_candidates:
+            return self.compress_batch(data[None],
+                                       np.asarray(error_bound,
+                                                  np.float32)[None])[0]
         eb = np.broadcast_to(np.asarray(error_bound, np.float32),
                              data.shape).copy()
         if np.any(eb <= 0):
@@ -218,6 +231,8 @@ class DirectCompressor:
         nslices = datas.shape[0]
         slice_shape = datas.shape[1:]
         fps = int(np.prod(slice_shape[:-2], dtype=np.int64))  # frames/slice
+        if self.rate_candidates:
+            return self._compress_batch_multi_q(datas, ebs, nslices, fps)
         blob_all = api.compress(datas, self.config, error_bound=ebs)
         rec_all = api.decompress(blob_all, self.config).reshape(datas.shape)
         frames = _c.unpack_blob(blob_all)
@@ -225,6 +240,39 @@ class DirectCompressor:
         for i in range(nslices):
             sub = _c.pack_blob(frames[i * fps:(i + 1) * fps])
             out.append(self._assemble(datas[i], ebs[i], sub, rec_all[i]))
+        return out
+
+    def _compress_batch_multi_q(self, datas, ebs, nslices, fps):
+        """Per-slice rate optimisation over ``rate_candidates``.
+
+        One pipelined ``compress_multi_q`` dispatch encodes every slice
+        under every quantile candidate (the base transform/analysis/arena
+        are shared across candidates), one batched decompress reconstructs
+        all of them, and each slice keeps the candidate whose TOTAL size —
+        core stream plus exact-value patch — is smallest.  This is the
+        per-slice golden-section optimisation of the reference's delta
+        codec (image_compression_delta.py:63-75; size comparison includes
+        fail values as in delta_compression.py:301-389) collapsed into two
+        device dispatch chains for the whole stack.
+        """
+        from ..codec import container as _c
+        qs = self.rate_candidates
+        blobs_q = api.compress_multi_q(datas, qs, self.config,
+                                       error_bound=ebs)
+        frames_q = [_c.unpack_blob(b) for b in blobs_q]
+        # one batched decode covers every candidate's reconstruction
+        rec_all = api.decompress(
+            _c.pack_blob([f for fq in frames_q for f in fq]),
+            self.config).reshape((len(qs),) + datas.shape)
+        out = []
+        for i in range(nslices):
+            best = None
+            for k in range(len(qs)):
+                sub = _c.pack_blob(frames_q[k][i * fps:(i + 1) * fps])
+                cand = self._assemble(datas[i], ebs[i], sub, rec_all[k, i])
+                if best is None or len(cand[0]) < len(best[0]):
+                    best = cand
+            out.append(best)
         return out
 
     def decompress(self, blob: bytes) -> np.ndarray:

@@ -92,6 +92,39 @@ def test_predictive_custom_model(stack, direct):
     assert calls  # the model was actually consulted
 
 
+def test_delta_chain_rate_optimized(stack):
+    """Per-slice rate optimisation (reference: every delta slice is
+    golden-section-optimised, image_compression_delta.py:63-75).  The
+    default quantile is among the candidates, so the per-slice minimum
+    can never lose to the fixed-quantile chain; the hard bound and the
+    encoder/decoder state contract must survive the sweep."""
+    cfg = EBCCConfig(mode=ResidualMode.POINTWISE_MAX_ERROR, base_cr=50,
+                     max_batch=1)
+    eb = np.full_like(stack, 0.1)
+    from ebcc_tpu.api import base_error_quantile
+    qs = (base_error_quantile(), 1e-3, 1e-1)
+    plain = DeltaCompressor(direct=DirectCompressor(config=cfg))
+    opt = DeltaCompressor(direct=DirectCompressor(config=cfg,
+                                                  rate_candidates=qs))
+    blob_plain = plain.compress(stack, eb)
+    blob_opt = opt.compress(stack, eb)
+    rec = opt.decompress(blob_opt)
+    assert np.all(np.abs(rec - stack) <= eb)
+    assert len(blob_opt) <= len(blob_plain)
+
+
+def test_direct_rate_optimized_rec_contract(stack):
+    """compress_with_rec under rate_candidates must still return the
+    decoder-exact reconstruction (the chain compressors rely on it)."""
+    cfg = EBCCConfig(mode=ResidualMode.POINTWISE_MAX_ERROR, base_cr=50,
+                     max_batch=1)
+    dc = DirectCompressor(config=cfg, rate_candidates=(1e-6, 1e-2))
+    eb = np.full_like(stack[0], 0.1)
+    blob, rec = dc.compress_with_rec(stack[0], eb)
+    np.testing.assert_array_equal(rec, dc.decompress(blob))
+    assert np.all(np.abs(rec - stack[0]) <= eb)
+
+
 def test_rate_optimizer(stack):
     cfg = EBCCConfig(mode=ResidualMode.MAX_ERROR, error=0.1, base_cr=50,
                      max_batch=1)
