@@ -78,13 +78,23 @@ class DirectCompressor:
 
     # -- patch encoding (direct_wrapper.py:85-100) --------------------------
     # Like the reference's stack-B failure coding (image_compression.py:
-    # 138-276 tries 7 encodings and keeps the smallest), the index set is
-    # encoded several ways and the smallest wins:
+    # 138-276 tries 7 encodings — full / idx+val / bitmask+val / block-id /
+    # adaptive delta / overflow-delta / vbyte — and keeps the smallest),
+    # the index set is encoded every applicable way and the smallest wins:
     #   0  i64 indices            (kept for decoding old blobs)
-    #   1  bitmask over npoints
-    #   2  varint position deltas (vbyte, the typical winner when sparse)
-    #   3  u32 indices
+    #   1  bitmask over npoints   (bitmask+val analogue)
+    #   2  varint position deltas (vbyte / adaptive-delta analogue; the
+    #                              typical winner when sparse)
+    #   3  u32 indices            (idx+val analogue)
+    #   4  block-coded            (block-id analogue: varint block deltas +
+    #                              varint per-block counts + u8 offsets)
+    #   5  u16 overflow deltas    (overflow-delta analogue: u16 gaps with a
+    #                              0xFFFF escape to a u32 side array)
+    # The reference's "full" candidate (the whole quantised residual plane)
+    # is covered by the codec's residual layer itself, not the patch.
     # Values are always exact f32; the chosen payload is zstd-packed.
+
+    _BLOCK_SHIFT = 8  # method-4 block size (256 points per block)
 
     @staticmethod
     def _varint_encode(arr: np.ndarray) -> bytes:
@@ -128,6 +138,63 @@ class DirectCompressor:
         return out.astype(np.int64)
 
     @classmethod
+    def _encode_block(cls, fail_idx: np.ndarray) -> bytes:
+        """Method 4: two-level block coding of a sorted index set."""
+        blocks = fail_idx >> cls._BLOCK_SHIFT
+        offs = (fail_idx & ((1 << cls._BLOCK_SHIFT) - 1)).astype(np.uint8)
+        ublocks, counts = np.unique(blocks, return_counts=True)
+        bdeltas = np.diff(ublocks, prepend=0) if len(ublocks) else ublocks
+        head = struct.pack("<I", len(ublocks))
+        return (head + cls._varint_encode(bdeltas) +
+                cls._varint_encode(counts) + offs.tobytes())
+
+    @classmethod
+    def _decode_block(cls, payload: bytes, nfail: int) -> np.ndarray:
+        (nblocks,) = struct.unpack_from("<I", payload, 0)
+        b = payload[4:]
+        bdeltas, used = cls._varint_decode_counted(b, nblocks)
+        counts, used2 = cls._varint_decode_counted(b[used:], nblocks)
+        offs = np.frombuffer(b[used + used2:used + used2 + nfail], np.uint8)
+        if int(counts.sum()) != nfail or len(offs) != nfail:
+            raise ValueError("corrupt block-coded patch stream")
+        blocks = np.repeat(np.cumsum(bdeltas), counts)
+        return (blocks << cls._BLOCK_SHIFT) | offs.astype(np.int64)
+
+    @classmethod
+    def _varint_decode_counted(cls, buf: bytes, count: int):
+        """Varint decode that also reports bytes consumed."""
+        if count == 0:
+            return np.zeros(0, np.int64), 0
+        b = np.frombuffer(buf, np.uint8)
+        ends = np.nonzero((b & 0x80) == 0)[0]
+        if len(ends) < count:
+            raise ValueError("truncated varint patch stream")
+        vals = cls._varint_decode(buf, count)
+        return vals, int(ends[count - 1]) + 1
+
+    @staticmethod
+    def _encode_overflow(deltas: np.ndarray) -> bytes:
+        """Method 5: u16 gaps, 0xFFFF escaping to a u32 side array."""
+        small = deltas < 0xFFFF
+        g16 = np.where(small, deltas, 0xFFFF).astype(np.uint16)
+        g32 = deltas[~small].astype(np.uint32)
+        return g16.tobytes() + g32.tobytes()
+
+    @staticmethod
+    def _decode_overflow(payload: bytes, nfail: int) -> np.ndarray:
+        g16 = np.frombuffer(payload[:2 * nfail], np.uint16)
+        if len(g16) != nfail:
+            raise ValueError("truncated overflow-delta patch stream")
+        esc = g16 == 0xFFFF
+        g32 = np.frombuffer(payload[2 * nfail:2 * nfail + 4 * int(esc.sum())],
+                            np.uint32)
+        if len(g32) != int(esc.sum()):
+            raise ValueError("truncated overflow-delta patch stream")
+        deltas = g16.astype(np.int64)
+        deltas[esc] = g32
+        return np.cumsum(deltas)
+
+    @classmethod
     def _encode_patch(cls, fail_idx: np.ndarray, values: np.ndarray,
                       npoints: int) -> bytes:
         fail_idx = np.asarray(fail_idx, np.int64)
@@ -137,6 +204,8 @@ class DirectCompressor:
         candidates = {
             1: np.packbits(mask).tobytes(),
             2: cls._varint_encode(deltas),
+            4: cls._encode_block(fail_idx),
+            5: cls._encode_overflow(deltas),
         }
         if npoints <= 1 << 32:  # u32 indices would wrap beyond this
             candidates[3] = fail_idx.astype(np.uint32).tobytes()
@@ -149,7 +218,8 @@ class DirectCompressor:
         method, nfail, blen = struct.unpack_from("<BII", buf, off)
         off += struct.calcsize("<BII")
         max_raw = {0: 8 * nfail, 1: (npoints + 7) // 8,
-                   2: 9 * nfail, 3: 4 * nfail}[method]
+                   2: 9 * nfail, 3: 4 * nfail,
+                   4: 4 + 19 * nfail, 5: 6 * nfail}[method]
         payload = _unpack(buf[off:off + blen], max_raw + 4 * nfail)
         off += blen
         raw_len = len(payload) - 4 * nfail
@@ -161,6 +231,10 @@ class DirectCompressor:
             idx = np.nonzero(bits)[0]
         elif method == 2:
             idx = np.cumsum(cls._varint_decode(payload[:raw_len], nfail))
+        elif method == 4:
+            idx = cls._decode_block(payload[:raw_len], nfail)
+        elif method == 5:
+            idx = cls._decode_overflow(payload[:raw_len], nfail)
         else:
             idx = np.frombuffer(payload[:raw_len], np.uint32).astype(np.int64)
         vals = np.frombuffer(payload[raw_len:raw_len + 4 * nfail], np.float32)

@@ -58,6 +58,58 @@ def test_direct_rejects_nonpositive_bound(stack, direct):
         direct.compress(stack[0], 0.0)
 
 
+@pytest.mark.parametrize("case", ["empty", "dense", "clustered", "uniform",
+                                  "huge_gaps", "all"])
+def test_patch_encoding_roundtrip(case):
+    """Every candidate family of the exact-value patch coder round-trips
+    and the smallest-wins selection stays decodable (the stack-B
+    candidate-set contract, image_compression.py:138-276)."""
+    npoints = 1 << 20
+    rng = np.random.default_rng(3)
+    idx = {
+        "empty": np.zeros(0, np.int64),
+        "dense": np.arange(0, npoints, 2, dtype=np.int64),
+        "clustered": np.sort(rng.choice(4096, 1500, replace=False)
+                             + np.int64(500000)),
+        "uniform": np.sort(rng.choice(npoints, 2000, replace=False)
+                           ).astype(np.int64),
+        "huge_gaps": np.array([0, 1, 70000, 1000000], np.int64),
+        "all": np.arange(npoints, dtype=np.int64),
+    }[case]
+    vals = rng.normal(size=len(idx)).astype(np.float32)
+    buf = DirectCompressor._encode_patch(idx, vals, npoints)
+    got_idx, got_vals, _ = DirectCompressor._decode_patch(buf, 0, npoints)
+    np.testing.assert_array_equal(got_idx, idx)
+    np.testing.assert_array_equal(got_vals, vals)
+
+
+@pytest.mark.parametrize("method", [1, 2, 3, 4, 5])
+def test_patch_encoding_each_method(method):
+    """Force each encoding method through its own encode/decode pair."""
+    import struct
+
+    from ebcc_tpu.models import direct as _d
+    npoints = 100000
+    rng = np.random.default_rng(9)
+    idx = np.sort(rng.choice(npoints, 700, replace=False)).astype(np.int64)
+    vals = rng.normal(size=len(idx)).astype(np.float32)
+    deltas = np.diff(idx, prepend=0)
+    mask = np.zeros(npoints, bool)
+    mask[idx] = True
+    enc = {
+        1: np.packbits(mask).tobytes(),
+        2: DirectCompressor._varint_encode(deltas),
+        3: idx.astype(np.uint32).tobytes(),
+        4: DirectCompressor._encode_block(idx),
+        5: DirectCompressor._encode_overflow(deltas),
+    }[method]
+    blob = _d._pack(enc + vals.tobytes())
+    buf = struct.pack("<BII", method, len(idx), len(blob)) + blob
+    got_idx, got_vals, _ = DirectCompressor._decode_patch(buf, 0, npoints)
+    np.testing.assert_array_equal(got_idx, idx)
+    np.testing.assert_array_equal(got_vals, vals)
+
+
 def test_delta_chain(stack, direct):
     dc = DeltaCompressor(direct=direct)
     eb = np.full_like(stack, 0.1)
