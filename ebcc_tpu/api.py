@@ -186,6 +186,9 @@ def compress(data, config: EBCCConfig | None = None, *,
     mode = config.mode
     if qbase is None:
         qbase = base_error_quantile()
+    if codec is not None and config.encode_backend == "cpu":
+        raise ValueError("encode_backend='cpu' cannot be combined with a "
+                         "pre-built device codec; drop one of the two")
     if codec is None and _use_cpu_encode(config, n):
         # byte-identical containers from the native encoder, with no
         # device compile or link transfers (see _use_cpu_encode)
@@ -510,11 +513,20 @@ def _check_plane_budget(res, config) -> None:
     default plane counts cover any u16 input by construction; user-
     lowered counts must fail loudly BEFORE packing (the native encoder
     returns -3 for the same condition)."""
-    if (int(np.max(res["max_step_b"])) >= config.base_nplanes or
-            int(np.max(res["max_step_r"])) >= config.residual_nplanes):
+    if int(np.max(res["max_step_b"])) >= config.base_nplanes:
         raise ValueError(
             "coefficient magnitudes exceed the configured bitplane budget; "
-            "raise base_nplanes/residual_nplanes")
+            "raise base_nplanes")
+    # the residual budget only matters for frames that may emit residual
+    # bits — NONE-mode (and skip-residual) frames never pack the layer, so
+    # an overflowing max_step_r there is harmless (the native encoder
+    # does not even build the layer then)
+    emits = ~(np.asarray(res["const"]) | np.asarray(res["skip_residual"]))
+    if np.any(emits &
+              (np.asarray(res["max_step_r"]) >= config.residual_nplanes)):
+        raise ValueError(
+            "coefficient magnitudes exceed the configured bitplane budget; "
+            "raise residual_nplanes")
 
 
 def _assemble_frame(res, i, h, w, config, mode, streams, zblobs) -> bytes:

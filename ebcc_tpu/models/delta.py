@@ -45,6 +45,10 @@ class DeltaCompressor:
         set, every direct pass AND every delta probe is rate-optimised
         per slice (the reference golden-section-optimises each delta
         slice, image_compression_delta.py:63-75)."""
+        if direct is not None and rate_candidates is not None:
+            raise ValueError(
+                "pass rate_candidates to the DirectCompressor itself when "
+                "providing one explicitly (it would be silently ignored)")
         self.direct = direct or DirectCompressor(
             base_cr=base_cr, ratio=ratio, rate_candidates=rate_candidates)
 

@@ -121,9 +121,10 @@ class DirectCompressor:
         return out.tobytes()
 
     @staticmethod
-    def _varint_decode(buf: bytes, count: int) -> np.ndarray:
+    def _varint_decode(buf: bytes, count: int):
+        """Decode ``count`` varints; returns (values, bytes consumed)."""
         if count == 0:
-            return np.zeros(0, np.int64)
+            return np.zeros(0, np.int64), 0
         b = np.frombuffer(buf, np.uint8)
         ends = np.nonzero((b & 0x80) == 0)[0]
         if len(ends) < count:
@@ -135,7 +136,7 @@ class DirectCompressor:
             sel = starts + k <= ends
             out[sel] |= ((b[starts[sel] + k].astype(np.uint64) &
                           np.uint64(0x7F)) << np.uint64(7 * k))
-        return out.astype(np.int64)
+        return out.astype(np.int64), int(ends[-1]) + 1
 
     @classmethod
     def _encode_block(cls, fail_idx: np.ndarray) -> bytes:
@@ -152,25 +153,13 @@ class DirectCompressor:
     def _decode_block(cls, payload: bytes, nfail: int) -> np.ndarray:
         (nblocks,) = struct.unpack_from("<I", payload, 0)
         b = payload[4:]
-        bdeltas, used = cls._varint_decode_counted(b, nblocks)
-        counts, used2 = cls._varint_decode_counted(b[used:], nblocks)
+        bdeltas, used = cls._varint_decode(b, nblocks)
+        counts, used2 = cls._varint_decode(b[used:], nblocks)
         offs = np.frombuffer(b[used + used2:used + used2 + nfail], np.uint8)
         if int(counts.sum()) != nfail or len(offs) != nfail:
             raise ValueError("corrupt block-coded patch stream")
         blocks = np.repeat(np.cumsum(bdeltas), counts)
         return (blocks << cls._BLOCK_SHIFT) | offs.astype(np.int64)
-
-    @classmethod
-    def _varint_decode_counted(cls, buf: bytes, count: int):
-        """Varint decode that also reports bytes consumed."""
-        if count == 0:
-            return np.zeros(0, np.int64), 0
-        b = np.frombuffer(buf, np.uint8)
-        ends = np.nonzero((b & 0x80) == 0)[0]
-        if len(ends) < count:
-            raise ValueError("truncated varint patch stream")
-        vals = cls._varint_decode(buf, count)
-        return vals, int(ends[count - 1]) + 1
 
     @staticmethod
     def _encode_overflow(deltas: np.ndarray) -> bytes:
@@ -205,8 +194,10 @@ class DirectCompressor:
             1: np.packbits(mask).tobytes(),
             2: cls._varint_encode(deltas),
             4: cls._encode_block(fail_idx),
-            5: cls._encode_overflow(deltas),
         }
+        if len(deltas) == 0 or int(deltas.max()) <= 0xFFFFFFFF:
+            # the u32 overflow side array would wrap on larger gaps
+            candidates[5] = cls._encode_overflow(deltas)
         if npoints <= 1 << 32:  # u32 indices would wrap beyond this
             candidates[3] = fail_idx.astype(np.uint32).tobytes()
         method, enc = min(candidates.items(), key=lambda kv: len(kv[1]))
@@ -230,7 +221,7 @@ class DirectCompressor:
                 np.frombuffer(payload[:raw_len], np.uint8))[:npoints]
             idx = np.nonzero(bits)[0]
         elif method == 2:
-            idx = np.cumsum(cls._varint_decode(payload[:raw_len], nfail))
+            idx = np.cumsum(cls._varint_decode(payload[:raw_len], nfail)[0])
         elif method == 4:
             idx = cls._decode_block(payload[:raw_len], nfail)
         elif method == 5:

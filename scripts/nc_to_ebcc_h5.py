@@ -65,6 +65,11 @@ def main():
             if isinstance(obj, h5py.Group):
                 copy_attrs(obj, dst.require_group(name))
                 return
+            if not isinstance(obj, h5py.Dataset):
+                # committed datatypes etc. — nothing to copy
+                print(f"skipping non-dataset object {name!r}",
+                      file=sys.stderr)
+                return
             if (obj.dtype.kind == "f" and obj.ndim >= 2 and
                     obj.shape[-1] >= 4 and obj.shape[-2] >= 4):
                 data = np.asarray(obj[...], np.float32)

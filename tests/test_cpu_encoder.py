@@ -266,3 +266,21 @@ def test_insufficient_nplanes_fails_loudly(small_frame):
         api.compress(small_frame, cfg)
     with pytest.raises(ValueError, match="bitplane budget"):
         cpu_encoder.compress(small_frame, cfg)
+
+
+def test_none_mode_ignores_residual_budget(small_frame):
+    """NONE mode never emits the residual layer, so an overflowing
+    residual_nplanes must not refuse the encode (parity with the native
+    encoder, which does not even build the layer then)."""
+    cfg = EBCCConfig(mode=ResidualMode.NONE, base_cr=30,
+                     residual_nplanes=1, max_batch=1,
+                     encode_backend="device")
+    blob = api.compress(small_frame, cfg)
+    rec = api.decompress(blob, cfg)[0]
+    assert rec.shape == small_frame.shape
+    # but an overflowing BASE budget still fails loudly in NONE mode
+    cfg_bad = EBCCConfig(mode=ResidualMode.NONE, base_cr=30,
+                         base_nplanes=10, max_batch=1,
+                         encode_backend="device")
+    with pytest.raises(ValueError, match="bitplane budget"):
+        api.compress(small_frame, cfg_bad)

@@ -125,3 +125,12 @@ def test_infeasible_bound_still_bounded_by_patch():
     eb = np.full_like(data, 1e-5)
     rec2 = dc.decompress(dc.compress(data, eb))
     assert np.all(np.abs(rec2 - data) <= eb)
+
+
+def test_cpu_backend_with_prebuilt_codec_rejected():
+    """encode_backend='cpu' contradicts a pre-built device codec; the
+    combination must fail loudly instead of silently running on device."""
+    data = np.ones((1, 128, 128), np.float32)
+    cfg = small_cfg(encode_backend="cpu")
+    with pytest.raises(ValueError, match="pre-built"):
+        ebcc_tpu.compress(data, cfg, codec=object())

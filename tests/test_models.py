@@ -58,6 +58,13 @@ def test_direct_rejects_nonpositive_bound(stack, direct):
         direct.compress(stack[0], 0.0)
 
 
+def test_delta_rejects_conflicting_rate_candidates(direct):
+    """rate_candidates alongside an explicit direct compressor would be
+    silently ignored; the constructor must refuse the combination."""
+    with pytest.raises(ValueError, match="rate_candidates"):
+        DeltaCompressor(direct=direct, rate_candidates=(1e-6, 1e-2))
+
+
 @pytest.mark.parametrize("case", ["empty", "dense", "clustered", "uniform",
                                   "huge_gaps", "all"])
 def test_patch_encoding_roundtrip(case):
