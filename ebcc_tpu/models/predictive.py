@@ -47,12 +47,17 @@ class PredictiveCompressor:
             raise ValueError("warmup must be >= 1")
         self.direct = direct or DirectCompressor(base_cr=base_cr, ratio=ratio)
 
-    def compress(self, data, error_bound) -> bytes:
+    def compress(self, data, error_bound, return_info: bool = False):
+        """Compress; with ``return_info`` also return per-step records
+        ``{step, bytes, predictive}`` (the per-step accounting the
+        reference's Aurora driver logs and plots,
+        run_aurora.py:263-297 / plot_aurora_delta_results.py)."""
         data = np.asarray(data, np.float32)
         eb = np.broadcast_to(np.asarray(error_bound, np.float32), data.shape)
         nsteps = data.shape[0]
         history: list[np.ndarray] = []
         parts = []
+        info = []
         # warmup steps are independent: one batched device pipeline
         warm = self.direct.compress_batch(
             data[:self.warmup], eb[:self.warmup]) if nsteps else []
@@ -67,6 +72,8 @@ class PredictiveCompressor:
                     data[t] - pred, eb[t])
                 rec = pred + dec
             parts.append(blob)
+            info.append(dict(step=t, bytes=len(blob),
+                             predictive=t >= self.warmup))
             history.append(rec)
             if len(history) > self.warmup:
                 history.pop(0)
@@ -74,7 +81,8 @@ class PredictiveCompressor:
                   nsteps, self.warmup)
         head = struct.pack("<4sII", _MAGIC, nsteps, self.warmup)
         body = b"".join(struct.pack("<Q", len(b)) + b for b in parts)
-        return head + body
+        blob = head + body
+        return (blob, info) if return_info else blob
 
     def decompress(self, blob: bytes) -> np.ndarray:
         magic, nsteps, warmup = struct.unpack_from("<4sII", blob, 0)

@@ -40,6 +40,8 @@ def main():
     p.add_argument("--train-steps", type=int, default=300)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--rel-bound", type=float, default=0.01)
+    p.add_argument("--out", default=None,
+                   help="per-step CSV (consumed by plot_predictive.py)")
     args = p.parse_args()
 
     if args.input:
@@ -79,13 +81,25 @@ def main():
     t0 = time.perf_counter()
     pc = PredictiveCompressor(forecast_fn=forecast, warmup=args.warmup,
                               direct=direct)
-    blob = pc.compress(seq, eb)
+    blob, step_info = pc.compress(seq, eb, return_info=True)
     enc = time.perf_counter() - t0
     rec = pc.decompress(blob)
     viol = int(np.sum(np.abs(rec - seq) > eb))
 
-    # baseline: every step direct
-    base_blobs = [direct.compress(seq[t], eb[t]) for t in range(len(seq))]
+    # baseline: every step direct (one batched pipeline)
+    base_blobs = [b for b, _ in direct.compress_batch(seq, eb)]
+    if args.out:
+        import csv
+        with open(args.out, "w", newline="") as f:
+            wr = csv.DictWriter(f, fieldnames=["step", "predictive_bytes",
+                                               "direct_bytes", "predictive"])
+            wr.writeheader()
+            for si, db in zip(step_info, base_blobs):
+                wr.writerow(dict(step=si["step"],
+                                 predictive_bytes=si["bytes"],
+                                 direct_bytes=len(db),
+                                 predictive=si["predictive"]))
+        print(f"wrote {args.out}")
     print(json.dumps({
         "steps": len(seq), "model": args.model_module or args.model,
         "predictive_cr": seq.nbytes / len(blob),
