@@ -9,8 +9,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags += " --xla_force_host_platform_device_count=8"
+if "collective_call_terminate_timeout" not in flags:
+    # 8 virtual devices time-slice one core: a replica can take longer
+    # than the default 20 s/40 s collective-rendezvous timeouts to reach
+    # its ppermute, which ABORTS the process (flaky under load)
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax
 
