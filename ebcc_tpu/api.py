@@ -102,6 +102,42 @@ def _on_tunnel() -> bool:
     return "axon" in (jax.config.jax_platforms or "")
 
 
+_DEVICE_ALIVE: bool | None = None
+
+
+def _device_alive() -> bool:
+    """Whether the default JAX backend can actually initialise.
+
+    Tunnel-attached devices can go down entirely, in which case backend
+    init HANGS (not errors) — so the probe runs in a subprocess with a
+    timeout.  Cached per process; an in-process backend that already
+    initialised counts as alive without paying the probe.
+    """
+    global _DEVICE_ALIVE
+    if _DEVICE_ALIVE is None:
+        try:
+            from jax._src import xla_bridge as _xb
+            if _xb._backends:  # already initialised in this process
+                _DEVICE_ALIVE = True
+        except Exception:
+            pass
+    if _DEVICE_ALIVE is None:
+        import subprocess
+        import sys
+        code = ("import jax, jax.numpy as jnp;"
+                "print(float(jnp.sum(jnp.ones((4,4)))))")
+        try:
+            _DEVICE_ALIVE = subprocess.run(
+                [sys.executable, "-c", code], timeout=150,
+                capture_output=True).returncode == 0
+        except Exception:
+            _DEVICE_ALIVE = False
+        if not _DEVICE_ALIVE:
+            elog.warn("device backend unavailable (wedged tunnel?); "
+                      "auto-routing encodes to the native CPU codec")
+    return _DEVICE_ALIVE
+
+
 def _use_cpu_encode(config: EBCCConfig, n_frames: int) -> bool:
     """Resolve the encode backend (config.encode_backend).
 
@@ -109,7 +145,9 @@ def _use_cpu_encode(config: EBCCConfig, n_frames: int) -> bool:
     error-bounded jobs of at most one device batch: a one-shot small
     encode there pays minutes of remote compile plus link transfers,
     while the CPU encoder runs in ~0.5 s/frame and emits byte-identical
-    containers (tests/test_cpu_encoder.py).
+    containers (tests/test_cpu_encoder.py).  When the device backend
+    cannot initialise at all (tunnel outage), "auto" falls back to the
+    CPU encoder for EVERY job rather than hanging.
     """
     mode = config.encode_backend
     if mode == "cpu":
@@ -119,10 +157,15 @@ def _use_cpu_encode(config: EBCCConfig, n_frames: int) -> bool:
         return True
     if mode != "auto" or not _native.HAVE_NATIVE:
         return False
-    return (_on_tunnel() and n_frames <= config.max_batch and
+    if not _on_tunnel():
+        return False
+    if (n_frames <= config.max_batch and
             config.mode in (ResidualMode.MAX_ERROR,
                             ResidualMode.RELATIVE_ERROR,
-                            ResidualMode.POINTWISE_MAX_ERROR))
+                            ResidualMode.POINTWISE_MAX_ERROR)):
+        return True  # small error-bounded job: CPU without probing anything
+    # device-routed job: pay one cached health probe instead of hanging
+    return not _device_alive()
 
 
 def _words_to_bytes(words: np.ndarray, nbits: int) -> bytes:
@@ -336,6 +379,21 @@ def compress_multi_q(data, qs, config: EBCCConfig | None = None, *,
             config, base_levels=min(config.base_levels, max_lv),
             residual_levels=min(config.residual_levels, max_lv))
     n = frames.shape[0]
+    if config.encode_backend == "cpu" and not _native.HAVE_NATIVE:
+        raise RuntimeError("encode_backend='cpu' needs the native runtime "
+                           "(make -C native)")
+    if (config.encode_backend in ("auto", "cpu") and _native.HAVE_NATIVE and
+            (config.encode_backend == "cpu" or
+             (_on_tunnel() and not _device_alive()))):
+        # device backend down (or CPU pinned): K per-candidate CPU encodes.
+        # Byte-identical to the device multi-q path — multi-q equals per-q
+        # compression (tests/test_models.py::test_multi_q_identical_to_per_q)
+        # and the CPU encoder equals api.compress per q.
+        from .runtime import cpu_encoder
+        return [cpu_encoder.compress(frames, config,
+                                     error_bound=error_bound, qbase=q,
+                                     _validated=True)
+                for q in qs]
     codec = _codec_for(h, w, config)
     mode = config.mode
     pointwise = mode == ResidualMode.POINTWISE_MAX_ERROR

@@ -134,3 +134,20 @@ def test_cpu_backend_with_prebuilt_codec_rejected():
     cfg = small_cfg(encode_backend="cpu")
     with pytest.raises(ValueError, match="pre-built"):
         ebcc_tpu.compress(data, cfg, codec=object())
+
+
+def test_dead_device_routes_auto_encodes_to_cpu(monkeypatch):
+    """With a dead device backend (wedged tunnel), 'auto' must route even
+    device-sized encode jobs to the native CPU encoder instead of hanging
+    in backend init."""
+    from ebcc_tpu import api
+    from ebcc_tpu.runtime import native as _native
+    if not _native.HAVE_NATIVE:
+        pytest.skip("native runtime not built")
+    monkeypatch.setattr(api, "_on_tunnel", lambda: True)
+    monkeypatch.setattr(api, "_DEVICE_ALIVE", False)
+    cfg = small_cfg(max_batch=1)
+    assert api._use_cpu_encode(cfg, 1) is True      # small job: cpu anyway
+    assert api._use_cpu_encode(cfg, 16) is True     # big job: outage fallback
+    monkeypatch.setattr(api, "_DEVICE_ALIVE", True)
+    assert api._use_cpu_encode(cfg, 16) is False    # healthy: device
