@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 import math
+import tempfile
 
 import jax
 import numpy as np
@@ -121,6 +122,20 @@ def _device_alive() -> bool:
                 _DEVICE_ALIVE = True
         except Exception:
             pass
+    # cross-process cache (short TTL): a CLI loop invoking one process per
+    # file must not pay the 150 s timeout on every invocation during an
+    # outage, nor a backend init per probe while healthy
+    import os
+    import time
+    cache = os.path.join(tempfile.gettempdir(), "ebcc_device_probe")
+    if _DEVICE_ALIVE is None:
+        try:
+            st = os.stat(cache)
+            if time.time() - st.st_mtime < 300:
+                with open(cache) as f:
+                    _DEVICE_ALIVE = f.read().strip() == "alive"
+        except OSError:
+            pass
     if _DEVICE_ALIVE is None:
         import subprocess
         import sys
@@ -132,6 +147,11 @@ def _device_alive() -> bool:
                 capture_output=True).returncode == 0
         except Exception:
             _DEVICE_ALIVE = False
+        try:
+            with open(cache, "w") as f:
+                f.write("alive" if _DEVICE_ALIVE else "dead")
+        except OSError:
+            pass
         if not _DEVICE_ALIVE:
             elog.warn("device backend unavailable (wedged tunnel?); "
                       "auto-routing encodes to the native CPU codec")
