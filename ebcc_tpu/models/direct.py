@@ -208,6 +208,10 @@ class DirectCompressor:
     def _decode_patch(cls, buf: bytes, off: int, npoints: int):
         method, nfail, blen = struct.unpack_from("<BII", buf, off)
         off += struct.calcsize("<BII")
+        # untrusted header: nfail bounds the decompress allocation, so an
+        # oversized value must not become a multi-GB np.empty
+        if nfail > npoints or blen > len(buf) - off:
+            raise ValueError("corrupt patch header")
         max_raw = {0: 8 * nfail, 1: (npoints + 7) // 8,
                    2: 9 * nfail, 3: 4 * nfail,
                    4: 4 + 19 * nfail, 5: 6 * nfail}[method]

@@ -267,3 +267,15 @@ class TestLearnedForecaster:
         fn2 = forecast.make_forecast_fn(params2, meta2)
         h = [advecting[6], advecting[7]]
         np.testing.assert_array_equal(fn1(h), fn2(h))
+
+
+def test_patch_rejects_oversized_header():
+    """A corrupt patch header (nfail > npoints or blob length past the
+    buffer) must fail loudly, not size a multi-GB allocation."""
+    import struct
+    bad = struct.pack("<BII", 2, 2**31, 8) + b"\x00" * 8
+    with pytest.raises(ValueError, match="corrupt patch header"):
+        DirectCompressor._decode_patch(bad, 0, 1000)
+    bad2 = struct.pack("<BII", 2, 10, 2**30) + b"\x00" * 8
+    with pytest.raises(ValueError, match="corrupt patch header"):
+        DirectCompressor._decode_patch(bad2, 0, 1000)
