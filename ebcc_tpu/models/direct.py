@@ -10,9 +10,11 @@ per-point bound *unconditional*:
 
     |decompress(compress(x, eb))[i] - x[i]| <= eb[i] * ratio   for all i.
 
-The patch encodes violating points either as a bitmask or as int32 indices
-— whichever is smaller, matching direct_wrapper.py:85-100 — plus their
-exact float32 values, entropy-packed with zstd.
+The patch encodes the violating index set every applicable way — bitmask,
+vbyte position deltas, u32 indices, block-coded, u16 overflow-deltas (the
+stack-B candidate families, image_compression.py:138-276) — and keeps the
+smallest, plus the exact float32 values, entropy-packed with zstd
+(direct_wrapper.py:85-100 keeps min(bitmask, indices) the same way).
 """
 
 from __future__ import annotations
