@@ -75,3 +75,36 @@ def test_header_field_fuzz(valid_blob):
             # mutations that survive decode must still be shape-sane
             # (mutated mn/mx/dc floats legitimately change values only)
             assert out.ndim == 3 and out.size > 0
+
+
+def test_patch_decoder_fuzz():
+    """Corrupted exact-value patch streams must fail with a clean error
+    (never hang, crash, or size a huge allocation).  Covers every method
+    id including the new block-coded / overflow-delta decoders."""
+    import numpy as np
+
+    from ebcc_tpu.models.direct import DirectCompressor
+
+    rng = np.random.default_rng(11)
+    npoints = 4096
+    idx = np.sort(rng.choice(npoints, 64, replace=False)).astype(np.int64)
+    vals = rng.normal(size=64).astype(np.float32)
+    good = DirectCompressor._encode_patch(idx, vals, npoints)
+    for trial in range(300):
+        mutated = bytearray(good)
+        for _ in range(rng.integers(1, 4)):
+            mutated[rng.integers(0, len(mutated))] = rng.integers(0, 256)
+        try:
+            got_idx, got_vals, _ = DirectCompressor._decode_patch(
+                bytes(mutated), 0, npoints)
+            assert len(got_idx) == len(got_vals)
+        except (ValueError, RuntimeError, OverflowError, MemoryError,
+                IndexError, KeyError, struct_error):
+            continue
+    # truncated buffers
+    for cut in range(0, len(good), 7):
+        try:
+            DirectCompressor._decode_patch(good[:cut], 0, npoints)
+        except (ValueError, RuntimeError, OverflowError, MemoryError,
+                IndexError, KeyError, struct_error):
+            continue
