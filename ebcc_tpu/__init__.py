@@ -7,13 +7,13 @@ layer, with max-error / relative-error / pointwise error-bound enforcement,
 batched over frames and sharded over device meshes.
 """
 
-from .api import compress, decompress
+from .api import compress, compress_multi_q, decompress
 from .codec.config import EBCCConfig, ResidualMode
 from .models import (DeltaCompressor, DirectCompressor, PredictiveCompressor,
                      RateOptimizedCompressor)
 
 __version__ = "0.1.0"
 
-__all__ = ["compress", "decompress", "EBCCConfig", "ResidualMode",
-           "DirectCompressor", "DeltaCompressor", "PredictiveCompressor",
-           "RateOptimizedCompressor", "__version__"]
+__all__ = ["compress", "compress_multi_q", "decompress", "EBCCConfig",
+           "ResidualMode", "DirectCompressor", "DeltaCompressor",
+           "PredictiveCompressor", "RateOptimizedCompressor", "__version__"]
