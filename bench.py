@@ -24,40 +24,31 @@ import numpy as np
 BASELINE_GRID_POINTS_PER_S = 2.0e6
 
 
-def _backend_alive(timeout_s: int = 150) -> bool:
-    """Probe the default JAX backend in a SUBPROCESS: a wedged device
-    tunnel hangs backend init indefinitely, which must not take the
-    benchmark (and its driver) down with it."""
-    import subprocess
-    code = ("import jax, jax.numpy as jnp;"
-            "print(float(jnp.sum(jnp.ones((4,4)))))")
-    try:
-        return subprocess.run([sys.executable, "-c", code],
-                              timeout=timeout_s,
-                              capture_output=True).returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-
-
 def main():
     import os as _os
 
-    fallback_cpu = not _backend_alive()
+    # Probe the default JAX backend in a SUBPROCESS (utils/health.py,
+    # shared cache with api's auto-routing): a wedged device tunnel hangs
+    # backend init indefinitely, which must not take the benchmark (and
+    # its driver) down with it.
+    from ebcc_tpu.utils import health
+
+    fallback_cpu = not health.probe_backend()
     if fallback_cpu:
         # tunnel down: measure the native CPU codec instead of reporting
-        # nothing (set BEFORE import jax, which wins over sitecustomize)
+        # nothing (set BEFORE the backend initialises)
         _os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
+    if fallback_cpu:
+        # env alone is not enough: jax read it at import, and the axon
+        # register hook force-overrides jax_platforms anyway
+        jax.config.update("jax_platforms", "cpu")
 
     # persistent compilation cache: repeated bench runs skip the multi-
     # minute pipeline compile (results unaffected; programs are keyed by
     # their HLO)
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    health.enable_compile_cache()
 
     import ebcc_tpu
     from ebcc_tpu import EBCCConfig, ResidualMode

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import functools
 import math
-import tempfile
 
 import jax
 import numpy as np
@@ -122,36 +121,13 @@ def _device_alive() -> bool:
                 _DEVICE_ALIVE = True
         except Exception:
             pass
-    # cross-process cache (short TTL): a CLI loop invoking one process per
-    # file must not pay the 150 s timeout on every invocation during an
-    # outage, nor a backend init per probe while healthy
-    import os
-    import time
-    cache = os.path.join(tempfile.gettempdir(), "ebcc_device_probe")
     if _DEVICE_ALIVE is None:
-        try:
-            st = os.stat(cache)
-            if time.time() - st.st_mtime < 300:
-                with open(cache) as f:
-                    _DEVICE_ALIVE = f.read().strip() == "alive"
-        except OSError:
-            pass
-    if _DEVICE_ALIVE is None:
-        import subprocess
-        import sys
-        code = ("import jax, jax.numpy as jnp;"
-                "print(float(jnp.sum(jnp.ones((4,4)))))")
-        try:
-            _DEVICE_ALIVE = subprocess.run(
-                [sys.executable, "-c", code], timeout=150,
-                capture_output=True).returncode == 0
-        except Exception:
-            _DEVICE_ALIVE = False
-        try:
-            with open(cache, "w") as f:
-                f.write("alive" if _DEVICE_ALIVE else "dead")
-        except OSError:
-            pass
+        # subprocess probe with a short-TTL cross-process cache: a CLI
+        # loop invoking one process per file must not pay the probe
+        # timeout on every invocation during an outage, nor a backend
+        # init per probe while healthy (utils/health.py)
+        from .utils import health
+        _DEVICE_ALIVE = health.probe_backend()
         if not _DEVICE_ALIVE:
             elog.warn("device backend unavailable (wedged tunnel?); "
                       "auto-routing encodes to the native CPU codec")

@@ -235,6 +235,13 @@ class DirectCompressor:
         else:
             idx = np.frombuffer(payload[:raw_len], np.uint32).astype(np.int64)
         vals = np.frombuffer(payload[raw_len:raw_len + 4 * nfail], np.float32)
+        idx = np.asarray(idx, np.int64)
+        if len(idx) != nfail or len(vals) != nfail or (
+                len(idx) and (int(idx.min()) < 0 or
+                              int(idx.max()) >= npoints)):
+            # out-of-range indices in a corrupt patch would silently write
+            # through numpy negative-index wraparound
+            raise ValueError("corrupt patch stream (index out of range)")
         return idx, vals, off
 
     # -- public API ----------------------------------------------------------

@@ -35,15 +35,10 @@ def main():
         data = (260 + 25 * np.sin(y / 721 * np.pi) *
                 np.cos(x / 1440 * 2 * np.pi)).astype(np.float32)
 
-    import jax
-
     # persistent compilation cache: the multi-q optimiser program is a
     # multi-minute compile at full frame size; repeat runs skip it
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    from ebcc_tpu.utils import health
+    health.enable_compile_cache()
 
     from ebcc_tpu import EBCCConfig, RateOptimizedCompressor, ResidualMode
     from ebcc_tpu import compress, decompress

@@ -279,3 +279,18 @@ def test_patch_rejects_oversized_header():
     bad2 = struct.pack("<BII", 2, 10, 2**30) + b"\x00" * 8
     with pytest.raises(ValueError, match="corrupt patch header"):
         DirectCompressor._decode_patch(bad2, 0, 1000)
+
+
+def test_patch_rejects_out_of_range_indices():
+    """Corrupt patches whose decoded indices leave [0, npoints) must fail
+    loudly — negative int64 indices would otherwise write through numpy
+    wraparound into unrelated points."""
+    import struct
+
+    from ebcc_tpu.models import direct as _d
+    for forged in (np.array([-5], np.int64), np.array([1000], np.int64)):
+        payload = forged.tobytes() + np.float32(99.0).tobytes()
+        blob = _d._pack(payload)
+        buf = struct.pack("<BII", 0, 1, len(blob)) + blob
+        with pytest.raises(ValueError, match="index out of range"):
+            DirectCompressor._decode_patch(buf, 0, 1000)
