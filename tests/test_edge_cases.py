@@ -151,3 +151,27 @@ def test_dead_device_routes_auto_encodes_to_cpu(monkeypatch):
     assert api._use_cpu_encode(cfg, 16) is True     # big job: outage fallback
     monkeypatch.setattr(api, "_DEVICE_ALIVE", True)
     assert api._use_cpu_encode(cfg, 16) is False    # healthy: device
+
+
+def test_health_verdict_cache_roundtrip(monkeypatch, tmp_path):
+    """The cross-process probe cache writes atomically, respects the TTL,
+    and ignores garbage content."""
+    import os
+    import time
+
+    from ebcc_tpu.utils import health
+    path = str(tmp_path / "probe")
+    monkeypatch.setattr(health, "_cache_path", lambda: path)
+    assert health.read_cached_verdict() is None
+    health.write_verdict(True)
+    assert health.read_cached_verdict() is True
+    health.write_verdict(False)
+    assert health.read_cached_verdict() is False
+    # stale entries are ignored
+    old = time.time() - health.PROBE_TTL_S - 10
+    os.utime(path, (old, old))
+    assert health.read_cached_verdict() is None
+    # garbage content is ignored (e.g. a torn or foreign file)
+    with open(path, "w") as f:
+        f.write("")
+    assert health.read_cached_verdict() is None
