@@ -513,11 +513,15 @@ void search_truncation(const LayerEnc& L, float qallow, EvalFn&& eval,
                        SearchResult* out_q, SearchResult* out_pure) {
   const int P = L.P, J = L.J;
   std::vector<std::pair<int64_t, ErrStats>> memo;
-  auto eval_m = [&](int b, int js, int jr, bool fine) {
+  // Memo entries are shared across the q and pure selects.  Early-exited
+  // stats (see the eval lambdas) stay conclusive because selects run in
+  // nonincreasing-qa order: an entry proving "violations exceed the
+  // q-select's threshold" is a fortiori infeasible for the pure select.
+  auto eval_m = [&](int b, int js, int jr, bool fine, float qa) {
     int64_t key = ((int64_t)b << 20) | (js << 12) | (jr << 4) | (int)fine;
     for (auto& kv : memo)
       if (kv.first == key) return kv.second;
-    ErrStats e = eval(b, js, jr, fine);
+    ErrStats e = eval(b, js, jr, fine, qa);
     memo.emplace_back(key, e);
     return e;
   };
@@ -538,15 +542,15 @@ void search_truncation(const LayerEnc& L, float qallow, EvalFn&& eval,
   auto select = [&](float qa) {
     SearchResult r;
     int pstar = bisect(P, [&](int idx) {
-      return ok_rule(eval_m(P - 1 - idx, 0, 0, false), qa);
+      return ok_rule(eval_m(P - 1 - idx, 0, 0, false, qa), qa);
     });
     r.bstar = P - 1 - pstar;
-    ErrStats coarse = eval_m(r.bstar, 0, 0, false);
+    ErrStats coarse = eval_m(r.bstar, 0, 0, false, qa);
     bool any_ok = ok_rule(coarse, qa);
     auto fine = [&](int k) {
       int js = k < J ? k + 1 : J;
       int jr = k < J ? 0 : k - J + 1;
-      return eval_m(r.bstar, js, jr, true);
+      return eval_m(r.bstar, js, jr, true, qa);
     };
     r.kstar = bisect(2 * J, [&](int k) { return ok_rule(fine(k), qa); });
     ErrStats f = fine(r.kstar);
@@ -787,14 +791,32 @@ int64_t ebcc_cpu_encode_frame(
                      : (mode == MODE_REL_ERR ? error * rng : error);
   };
 
+  // Largest violation count still feasible under quantile qa — the scan
+  // may stop once nv exceeds it: the verdict (infeasible) is then certain,
+  // the partial maxd is > 0 (a violation was seen), and every consumer of
+  // these stats uses only the verdict or the SIGN of maxd, so early exit
+  // cannot change any selection (and therefore not the stream bytes).
+  // The search's memo consults entries only at equal-or-lower qa (q-select
+  // runs before the pure select), where "nv exceeded a larger threshold"
+  // stays conclusive.
+  auto exit_thresh = [n](float qa) -> size_t {
+    if (qa <= 0.0f) return 0;
+    size_t t = (size_t)((double)qa * (double)n);
+    while ((double)(t + 1) / (double)n <= (double)qa) ++t;
+    while (t > 0 && (double)t / (double)n > (double)qa) --t;
+    return t;
+  };
+
   // y / 65535 * rng + mn, reassociated + fused the way XLA compiles it
   const float unscale_c = RECIP_U16 * rng;
-  auto base_eval = [&](int b, int js, int jr, bool fine) -> ErrStats {
+  auto base_eval = [&](int b, int js, int jr, bool fine,
+                       float qa) -> ErrStats {
     base.recon_coef(b, js, jr, fine, coef_buf.data());
     layer_recon(base, coef_buf.data(), dc_b, U16_MAX, rec_buf.data());
     float maxd = -std::numeric_limits<float>::infinity();
     size_t nv = 0;
-    for (int r = 0; r < h; ++r)
+    const size_t T = exit_thresh(qa);
+    for (int r = 0; r < h; ++r) {
       for (int c = 0; c < w; ++c) {
         size_t i = (size_t)r * w + c;
         float rec = std::fma(rec_buf[(size_t)r * base.w + c], unscale_c, mn);
@@ -802,6 +824,8 @@ int64_t ebcc_cpu_encode_frame(
         maxd = std::max(maxd, e);
         if (e > 0.0f) ++nv;
       }
+      if (nv > T) break;  // infeasible for sure; maxd already > 0
+    }
     return {maxd, (double)nv / (double)n};
   };
 
@@ -832,12 +856,14 @@ int64_t ebcc_cpu_encode_frame(
     std::vector<float> rcoef((size_t)resid.h * resid.w);
     std::vector<float> rrec((size_t)resid.h * resid.w);
     float rc0 = RECIP_RS * (rset.rmx - rset.rmn);
-    auto resid_eval = [&](int b, int js2, int jr2, bool fine) -> ErrStats {
+    auto resid_eval = [&](int b, int js2, int jr2, bool fine,
+                          float qa) -> ErrStats {
       resid.recon_coef(b, js2, jr2, fine, rcoef.data());
       layer_recon(resid, rcoef.data(), rset.dc_r, RESID_SCALE, rrec.data());
       float maxd = -std::numeric_limits<float>::infinity();
       size_t nv = 0;
-      for (int r = 0; r < h; ++r)
+      const size_t T = exit_thresh(qa);
+      for (int r = 0; r < h; ++r) {
         for (int c = 0; c < w; ++c) {
           size_t i = (size_t)r * w + c;
           float rec = base_rec[i] +
@@ -846,6 +872,8 @@ int64_t ebcc_cpu_encode_frame(
           maxd = std::max(maxd, e);
           if (e > 0.0f) ++nv;
         }
+        if (nv > T) break;  // infeasible for sure; maxd already > 0
+      }
       return {maxd, (double)nv / (double)n};
     };
     SearchResult rq;
