@@ -24,6 +24,13 @@ final plane, so it needs coordinated changes in the JAX packer
 decoders, the u16 transfer packings and the container — the full
 stream-format-invariant surface (CLAUDE.md).  Parked as a round-3
 candidate with this script as the evidence base.
+
+Negative result (also measured): reordering the within-plane chunk scan
+by a DECODER-DERIVABLE activity metric (significance counts above the
+plane) — which would keep the prefix property and need no header bits —
+does NOT capture the gain (-5.2% / -0.5% vs the current order): activity
+predicts where bits are, not where the bound still NEEDS them.  The mask
+must be encoder-signaled.
 """
 
 import os
