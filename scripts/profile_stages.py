@@ -13,6 +13,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def main():
+    from ebcc_tpu.utils import health
+
+    if not health.probe_backend():
+        print("device backend unreachable (wedged tunnel?); this profiler "
+              "needs a live device — aborting instead of hanging",
+              file=sys.stderr)
+        return 1
     import jax
 
     from ebcc_tpu import EBCCConfig, ResidualMode, api
@@ -137,4 +144,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

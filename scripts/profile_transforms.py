@@ -26,6 +26,13 @@ def timeit(fn, *args, reps=5):
 
 
 def main():
+    from ebcc_tpu.utils import health
+
+    if not health.probe_backend():
+        print("device backend unreachable (wedged tunnel?); this profiler "
+              "needs a live device — aborting instead of hanging",
+              file=sys.stderr)
+        return 1
     import jax
     import jax.numpy as jnp
 
@@ -65,4 +72,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
