@@ -60,14 +60,12 @@ def main():
 
 
 def run_bench(fallback_cpu: bool):
-    import os as _os
-
     from ebcc_tpu.utils import health
 
     if fallback_cpu:
         # tunnel down: measure the native CPU codec instead of reporting
         # nothing (set BEFORE the backend initialises)
-        _os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
     if fallback_cpu:

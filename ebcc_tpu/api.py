@@ -375,13 +375,8 @@ def compress_multi_q(data, qs, config: EBCCConfig | None = None, *,
             config, base_levels=min(config.base_levels, max_lv),
             residual_levels=min(config.residual_levels, max_lv))
     n = frames.shape[0]
-    if config.encode_backend == "cpu" and not _native.HAVE_NATIVE:
-        raise RuntimeError("encode_backend='cpu' needs the native runtime "
-                           "(make -C native)")
-    if (config.encode_backend in ("auto", "cpu") and _native.HAVE_NATIVE and
-            (config.encode_backend == "cpu" or
-             (_on_tunnel() and not _device_alive()))):
-        # device backend down (or CPU pinned): K per-candidate CPU encodes.
+    if _use_cpu_encode(config, n):
+        # same routing rule as compress(): K per-candidate CPU encodes.
         # Byte-identical to the device multi-q path — multi-q equals per-q
         # compression (tests/test_models.py::test_multi_q_identical_to_per_q)
         # and the CPU encoder equals api.compress per q.
