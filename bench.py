@@ -24,12 +24,36 @@ import numpy as np
 BASELINE_GRID_POINTS_PER_S = 2.0e6
 
 
+def _run_mode(mode: str, timeout_s: int):
+    """One bench submode in a time-boxed subprocess; returns its JSON dict
+    or None.  Tunnel-attached devices can hang mid-run, so every device
+    attempt is isolated this way."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env={**os.environ, "EBCC_BENCH_MODE": mode},
+            timeout=timeout_s, capture_output=True, text=True)
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if r.returncode == 0 and lines:
+            return json.loads(lines[-1])
+    except (subprocess.TimeoutExpired, json.JSONDecodeError):
+        pass
+    return None
+
+
 def main():
     """Orchestrator: device benchmark in a TIME-BOXED subprocess, native-CPU
     fallback otherwise.  A tunnel-attached device can hang at backend init
-    OR die mid-run; either way the driver must still get its JSON line."""
-    import subprocess
+    OR die mid-run; either way the driver must still get its JSON line.
 
+    The probe verdicts are always FRESH here (a stale cached "dead" from a
+    transient outage minutes ago must not poison the driver's one capture
+    of the round), and when the wall number has to come from the CPU
+    fallback the device-only encode figure is still attempted afterwards —
+    the JSON reports every number the hardware would actually answer for.
+    """
     from ebcc_tpu.utils import health
 
     mode = os.environ.get("EBCC_BENCH_MODE")
@@ -37,26 +61,89 @@ def main():
         return run_bench(fallback_cpu=False)
     if mode == "cpu":
         return run_bench(fallback_cpu=True)
+    if mode == "device_only":
+        return run_device_only()
 
-    if health.probe_backend():
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env={**os.environ, "EBCC_BENCH_MODE": "device"},
-                timeout=int(os.environ.get("EBCC_BENCH_DEVICE_TIMEOUT",
-                                           "430")),
-                capture_output=True, text=True)
-            lines = [ln for ln in r.stdout.splitlines()
-                     if ln.startswith("{")]
-            if r.returncode == 0 and lines:
-                print(lines[-1])
-                return 0
-        except subprocess.TimeoutExpired:
-            pass
+    if health.probe_backend(use_cache=False):
+        out = _run_mode("device", int(os.environ.get(
+            "EBCC_BENCH_DEVICE_TIMEOUT", "430")))
+        if out is not None:
+            print(json.dumps(out))
+            return 0
         # the device attempt failed or hung mid-run: record it so api
         # callers in the next few minutes skip the device too
         health.write_verdict(False)
-    return run_bench(fallback_cpu=True)
+    out = None
+    cpu_proc = _run_mode("cpu", 280)
+    if cpu_proc is not None:
+        out = cpu_proc
+    # the tunnel recovers in bursts: even when the wall number is the
+    # fallback's, try once more for the device-compute figure
+    if health.probe_backend(use_cache=False):
+        dev = _run_mode("device_only", 240)
+        if dev and out is not None:
+            out["device_encode_pts_per_s"] = dev["device_encode_pts_per_s"]
+            out["metric"] += (f" [device-only encode "
+                              f"{dev['device_encode_pts_per_s'] / 1e6:.1f}M"
+                              " pts/s measured post-fallback]")
+        elif dev and out is None:
+            out = dev
+    if out is not None:
+        print(json.dumps(out))
+        return 0
+    return run_bench(fallback_cpu=True)  # last resort: inline CPU bench
+
+
+def run_device_only():
+    """Measure ONLY the device-compute encode throughput (no wall pipeline).
+
+    Used by the orchestrator when the full device bench failed or the wall
+    number came from the CPU fallback: the device-only figure is the one a
+    PCIe-local host would approach, and it should be recorded whenever the
+    hardware answers at all.
+    """
+    from ebcc_tpu.utils import health
+    health.enable_compile_cache()
+
+    import jax.numpy as jnp
+
+    from ebcc_tpu import EBCCConfig, ResidualMode
+    from ebcc_tpu import api as _api
+
+    frames_per_batch = int(os.environ.get("EBCC_BENCH_BATCH", "16"))
+    try:
+        base = np.load("/root/reference/data/test_data.npy").astype(
+            np.float32)
+    except Exception:
+        y, x = np.mgrid[0:721, 0:1440]
+        base = (260 + 25 * np.sin(y / 721 * np.pi) *
+                np.cos(x / 1440 * 2 * np.pi)).astype(np.float32)
+    rng = np.random.default_rng(0)
+    data = np.stack([base + rng.normal(0, 0.05, base.shape).astype(
+        np.float32) for _ in range(frames_per_batch)])
+    cfg = EBCCConfig(mode=ResidualMode.MAX_ERROR, error=0.5, base_cr=100,
+                     max_batch=frames_per_batch)
+    codec = _api._codec_for(721, 1440, cfg)
+    dev_data = jnp.asarray(data)
+    target = jnp.full((frames_per_batch,), 0.5, jnp.float32)
+    res = codec.encode_error_bounded(dev_data, target, 1e-6)
+    float(jnp.sum(res.base_bits_q))  # warm + sync (scalar fetch; see run_bench)
+    dev_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = codec.encode_error_bounded(dev_data, target, 1e-6)
+        float(jnp.sum(res.base_bits_q))
+        dev_best = min(dev_best, time.perf_counter() - t0)
+    dev_pts_per_s = frames_per_batch * 721 * 1440 / dev_best
+    print(json.dumps({
+        "metric": "device-only encode grid-points/s @ max_error=0.5 "
+                  f"(ERA5 721x1440, {frames_per_batch} frames)",
+        "value": round(dev_pts_per_s, 1),
+        "unit": "grid-points/s",
+        "vs_baseline": round(dev_pts_per_s / BASELINE_GRID_POINTS_PER_S, 3),
+        "device_encode_pts_per_s": round(dev_pts_per_s, 1),
+    }))
+    return 0
 
 
 def run_bench(fallback_cpu: bool):
@@ -98,10 +185,15 @@ def run_bench(fallback_cpu: bool):
 
     cfg = EBCCConfig(mode=ResidualMode.MAX_ERROR, error=0.5, base_cr=100,
                      max_batch=frames_per_batch)
+    import dataclasses
     if fallback_cpu:
-        import dataclasses
         cfg = dataclasses.replace(cfg, encode_backend="cpu",
                                   decode_backend="cpu")
+    else:
+        # pin the device encode: "auto" would route the warmup (one batch,
+        # error-bounded) through the native CPU encoder, leaving the
+        # device pipeline uncompiled when the first timed rep hits it
+        cfg = dataclasses.replace(cfg, encode_backend="device")
 
     # warmup: compile both directions
     blob = ebcc_tpu.compress(data[:frames_per_batch], cfg)

@@ -52,6 +52,37 @@ _DEFERRED_FIELDS = _F32_COEF_FIELDS + (
     "base_pack16", "resid_pack16", "base_pack8", "resid_pack8")
 
 
+def pointwise_targets(frames: np.ndarray, eb: np.ndarray,
+                      ratio: float) -> np.ndarray:
+    """Per-point search targets for POINTWISE_MAX_ERROR mode.
+
+    The reference narrows the target to ``eb * ratio * (1 - eps)``
+    (j2k_codec.h:842-845) so decode-side arithmetic drift cannot push a
+    point past the user bound.  Two corrections to that scheme here:
+
+    * ``1 - 1e-8`` rounds to exactly ``1.0f`` — at float32 the reference's
+      margin is a no-op.
+    * The actual drift (jitted vs native CPU decoder; last-ulp differences
+      in the f32 lifting arithmetic) scales with the frame's u16
+      quantisation step ``(mx - mn) / 65535`` — NOT with ``eb`` — so a
+      purely relative margin cannot absorb it for small bounds.
+
+    The margin therefore subtracts one u16 quantum per frame (measured
+    cross-backend drift: 0.074 quanta worst case over the ERA5 fixtures —
+    13x headroom), floored at half the scaled bound so degenerate bounds
+    below ~2 quanta still encode (there the cross-backend guarantee
+    needs the exact-value patch, models/direct.py).  Both encoder
+    backends compute targets through this one function, keeping their
+    containers byte-identical (tests/test_cpu_encoder.py).
+    """
+    rng = (frames.max(axis=(-2, -1)) -
+           frames.min(axis=(-2, -1))).astype(np.float32)
+    slack = rng * np.float32(1.0 / 65535.0)
+    t = eb.astype(np.float32) * np.float32(ratio)
+    return np.maximum(t - slack[:, None, None],
+                      t * np.float32(0.5)).astype(np.float32)
+
+
 def _zstd_compress(data: bytes, level: int) -> bytes:
     """The container format mandates zstd (docs/FORMAT.md); a silent
     substitute codec would produce blobs unreadable elsewhere.
@@ -241,9 +272,9 @@ def compress(data, config: EBCCConfig | None = None, *,
         if error_bound is None:
             raise ValueError("POINTWISE_MAX_ERROR requires error_bound")
         eb = np.asarray(error_bound, np.float32).reshape(-1, h, w)
-        # per-point target with the reference's safety margin
-        # (j2k_codec.h:842-845)
-        eb = eb * config.pointwise_max_error_ratio * (1 - 1e-8)
+        # per-point target with the drift-absorbing safety margin
+        # (reference semantics: j2k_codec.h:842-845)
+        eb = pointwise_targets(frames, eb, config.pointwise_max_error_ratio)
 
     # a call smaller than max_batch compiles/pads at its own size instead
     # of padding up by repetition (single-slice callers like the delta
@@ -392,7 +423,8 @@ def compress_multi_q(data, qs, config: EBCCConfig | None = None, *,
         if error_bound is None:
             raise ValueError("POINTWISE_MAX_ERROR requires error_bound")
         eb_all = np.asarray(error_bound, np.float32).reshape(-1, h, w)
-        eb_all = eb_all * config.pointwise_max_error_ratio * (1 - 1e-8)
+        eb_all = pointwise_targets(frames, eb_all,
+                                   config.pointwise_max_error_ratio)
 
     out_frames = [[] for _ in qs]
     bsz = min(config.max_batch, n)

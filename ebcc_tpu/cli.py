@@ -26,18 +26,36 @@ from .codec.config import MODE_NAMES as _MODES
 from .codec.config import EBCCConfig
 
 
-def _load(path: str) -> np.ndarray:
+def _load(path: str, dataset: str | None = None) -> np.ndarray:
     if path.endswith(".npy"):
         return np.load(path).astype(np.float32)
     if path.endswith((".h5", ".hdf5", ".nc")):
         import h5py
         with h5py.File(path, "r") as f:
-            # first 2-D+ float dataset
-            for k in f:
-                d = f[k]
-                if getattr(d, "ndim", 0) >= 2:
-                    return np.asarray(d[:], np.float32)
-        raise SystemExit(f"no 2-D dataset found in {path}")
+            if dataset is not None:
+                if dataset not in f:
+                    raise SystemExit(f"dataset {dataset!r} not in {path} "
+                                     f"(has: {', '.join(sorted(f))})")
+                return np.asarray(f[dataset][:], np.float32)
+            # auto-pick: prefer float 2-D+ data variables over the 2-D
+            # bounds/coordinate variables netCDF files commonly carry
+            def score(name, d):
+                if getattr(d, "ndim", 0) < 2:
+                    return None
+                aux = any(t in name.lower() for t in
+                          ("bnds", "bounds", "lat", "lon", "vertices"))
+                isfloat = d.dtype.kind == "f"
+                return (isfloat, not aux, d.size)
+
+            best = None
+            for k, d in f.items():
+                s = score(k, d)
+                if s and (best is None or s > best[0]):
+                    best = (s, k)
+            if best:
+                return np.asarray(f[best[1]][:], np.float32)
+        raise SystemExit(f"no 2-D dataset found in {path} "
+                         "(use --dataset to name one)")
     raise SystemExit(f"unsupported input format: {path}")
 
 
@@ -49,7 +67,7 @@ def _config(args) -> EBCCConfig:
 
 
 def cmd_compress(args):
-    data = _load(args.input)
+    data = _load(args.input, args.dataset)
     cfg = _config(args)
     eb = None
     if args.mode == "pointwise_max_error":
@@ -82,7 +100,7 @@ def cmd_sweep(args):
     if args.mode == "pointwise_max_error":
         raise SystemExit("sweep sweeps scalar bounds; pointwise mode needs "
                          "per-point bounds — use scripts/pointwise_sweep.py")
-    data = _load(args.input)
+    data = _load(args.input, args.dataset)
     rows = []
     for err in args.errors:
         cfg = EBCCConfig(mode=_MODES[args.mode], error=err,
@@ -171,6 +189,9 @@ def main(argv=None):
         sp.add_argument("--base-cr", type=float, default=100.0)
         sp.add_argument("--error-bound-file", default=None,
                         help=".npy per-point bounds (pointwise mode)")
+        sp.add_argument("--dataset", default=None,
+                        help="HDF5/netCDF dataset name (default: the "
+                             "largest float 2-D+ data variable)")
 
     sp = sub.add_parser("compress")
     sp.add_argument("input")

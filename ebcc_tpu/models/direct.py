@@ -27,7 +27,18 @@ from .. import api
 from ..codec.config import EBCCConfig, ResidualMode
 from ..utils import logging as elog
 
-_MAGIC = b"EBTD"
+_MAGIC = b"EBTD"    # legacy (round <= 2): no reconstruction-backend record
+_MAGIC_E = b"EBTE"  # current: header carries the reconstruction backend
+
+# EBTE backend codes.  The exact-value patch is computed against ONE
+# decoder's reconstruction; the two decode backends agree only to ~1e-3
+# in data units (config.py), so decoding a blob with the OTHER backend
+# can push a near-threshold unpatched point past the pointwise bound.
+# The blob therefore records which decoder its patch was built against
+# and decompress() honours it, failing loudly rather than silently
+# reconstructing with whichever backend this host happens to have.
+_BACKEND_CODES = {"cpu": 1, "device": 2}
+_BACKEND_NAMES = {v: k for k, v in _BACKEND_CODES.items()}
 
 
 def _pack(data: bytes, level: int = 9) -> bytes:
@@ -258,7 +269,9 @@ class DirectCompressor:
                    len(fail_idx), data.size)
         vals = data.reshape(-1)[fail_idx]
         patch = self._encode_patch(fail_idx, vals, data.size)
-        head = struct.pack("<4sBQ", _MAGIC, len(data.shape), len(blob))
+        backend = _BACKEND_CODES[self.config.decode_backend]
+        head = struct.pack("<4sBBQ", _MAGIC_E, backend, len(data.shape),
+                           len(blob))
         dims = struct.pack(f"<{len(data.shape)}I", *data.shape)
         rec = np.array(rec, copy=True)
         rec.reshape(-1)[fail_idx] = vals
@@ -354,13 +367,37 @@ class DirectCompressor:
         return out
 
     def decompress(self, blob: bytes) -> np.ndarray:
-        magic, ndim, blen = struct.unpack_from("<4sBQ", blob, 0)
-        if magic != _MAGIC:
+        import dataclasses
+
+        from ..runtime import native as _native
+        config = self.config
+        if blob[:4] == _MAGIC_E:
+            magic, backend_code, ndim, blen = struct.unpack_from(
+                "<4sBBQ", blob, 0)
+            off = struct.calcsize("<4sBBQ")
+            backend = _BACKEND_NAMES.get(backend_code)
+            if backend is None:
+                raise ValueError(
+                    f"unknown reconstruction backend {backend_code} in "
+                    "DirectCompressor blob")
+            if backend == "cpu" and not _native.HAVE_NATIVE:
+                raise RuntimeError(
+                    "this blob's exact-value patch was built against the "
+                    "native CPU decoder; decoding it with another backend "
+                    "can violate the pointwise bound.  Build the native "
+                    "runtime: make -C native")
+            if backend != config.decode_backend:
+                config = dataclasses.replace(config, decode_backend=backend)
+        elif blob[:4] == _MAGIC:
+            # legacy blob (no backend record): decode with this machine's
+            # pinned backend, as before
+            magic, ndim, blen = struct.unpack_from("<4sBQ", blob, 0)
+            off = struct.calcsize("<4sBQ")
+        else:
             raise ValueError("not a DirectCompressor blob")
-        off = struct.calcsize("<4sBQ")
         shape = struct.unpack_from(f"<{ndim}I", blob, off)
         off += 4 * ndim
-        rec = api.decompress(blob[off:off + blen], self.config)
+        rec = api.decompress(blob[off:off + blen], config)
         off += blen
         rec = rec.reshape(shape)
         flat = rec.reshape(-1)

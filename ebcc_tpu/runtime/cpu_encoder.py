@@ -63,10 +63,12 @@ def compress(data, config: EBCCConfig | None = None, *, error_bound=None,
         if error_bound is None:
             raise ValueError("POINTWISE_MAX_ERROR requires error_bound")
         eb = np.asarray(error_bound, np.float32).reshape(frames.shape)
-        # per-point target with the reference's safety margin
-        # (j2k_codec.h:842-845; matches api.compress)
-        targets = np.ascontiguousarray(
-            eb * config.pointwise_max_error_ratio * (1 - 1e-8), np.float32)
+        # per-point target with the drift-absorbing safety margin — the
+        # SAME function api.compress uses, so containers stay
+        # byte-identical across backends (j2k_codec.h:842-845 semantics)
+        from ..api import pointwise_targets
+        targets = np.ascontiguousarray(pointwise_targets(
+            frames, eb, config.pointwise_max_error_ratio), np.float32)
 
     enc = _fn(lib)
     cap = 8 * h * w + 65536

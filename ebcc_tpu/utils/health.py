@@ -24,6 +24,12 @@ def read_cached_verdict() -> bool | None:
     path = _cache_path()
     try:
         st = os.stat(path)
+        # the cache lives in world-writable /tmp under a predictable name:
+        # never trust a file another user planted there (a forged "dead"
+        # would reroute every encode; a forged "alive" would let a wedged
+        # tunnel hang backend init)
+        if st.st_uid != getattr(os, "getuid", lambda: st.st_uid)():
+            return None
         if time.time() - st.st_mtime < PROBE_TTL_S:
             with open(path) as f:
                 v = f.read().strip()

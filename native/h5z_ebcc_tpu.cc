@@ -383,10 +383,21 @@ size_t encode_chunk(size_t cd_nelmts, const unsigned int* cd_values,
            n * sizeof(float));
     const float* eb = p + (size_t)i * 2 * n + n;
     float* t = tgt.data() + (size_t)i * n;
-    // per-point target with the reference's safety margin
-    // (j2k_codec.h:842-845; api.py)
-    for (size_t k = 0; k < n; ++k)
-      t[k] = eb[k] * ratio * (1.0f - 1e-8f);
+    // per-point target with the drift-absorbing safety margin: one u16
+    // quantum of the frame range, floored at half the scaled bound —
+    // mirrors api.pointwise_targets exactly (j2k_codec.h:842-845
+    // semantics; the reference's 1-1e-8 margin rounds to 1.0f)
+    const float* fd = data.data() + (size_t)i * n;
+    float mn = fd[0], mx = fd[0];
+    for (size_t k = 1; k < n; ++k) {
+      mn = std::min(mn, fd[k]);
+      mx = std::max(mx, fd[k]);
+    }
+    float slack = (mx - mn) * (float)(1.0 / 65535.0);  // == np.float32(1/65535)
+    for (size_t k = 0; k < n; ++k) {
+      float t0 = eb[k] * ratio;
+      t[k] = std::max(t0 - slack, t0 * 0.5f);
+    }
   }
   std::vector<uint8_t> payload;
   if (!encode_frames(data.data(), tgt.data(), d, c.h, c.w, c, payload))
