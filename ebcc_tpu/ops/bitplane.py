@@ -198,6 +198,87 @@ def candidate_bits(counts, spec: CoderSpec):
     return jnp.concatenate([after_sig, after_ref], axis=-1)
 
 
+def recon_masked(an: Analysis, b, drop, spec: CoderSpec):
+    """Closed-form reconstruction with per-stripe last-plane drops.
+
+    All planes above ``b`` are fully processed; at plane ``b``, stripe ``j``
+    is fully processed (significance + sign + refinement) iff ``drop[:, j]``
+    is False, and entirely absent (its coefficients stay at plane ``b + 1``
+    precision) iff True.  This is the reconstruction a decoder computes from
+    a chunk-masked stream (format v4): dropped chunks read as past-the-end
+    zeros.
+
+    ``b``: [B] int32; ``drop``: [B, J] bool.  Returns float32 midpoint
+    coefficients.
+    """
+    bb = jnp.asarray(b, jnp.int32)[:, None, None]
+    sid = stripe_id(spec)  # [H, W]
+    dropped = jnp.take_along_axis(
+        drop.astype(jnp.int32), sid.reshape(1, -1), axis=1
+    ).reshape(drop.shape[0], spec.height, spec.width)
+    d = bb + dropped
+    q = jnp.right_shift(an.mag, d)
+    visible = q > 0
+    q = q << d
+    half = (jnp.exp2(d.astype(jnp.float32)) - 1.0) * 0.5
+    rec = jnp.where(visible, q.astype(jnp.float32) + half, 0.0)
+    return jnp.where(an.neg, -rec, rec)
+
+
+def mask_segments(counts, bstar, spec: CoderSpec):
+    """Per-frame segment bit counts of plane ``bstar`` (for chunk masking).
+
+    ``counts``: [B, P, S] from :func:`segment_counts`; ``bstar``: [B] int32.
+    Returns int32 [B, 2 + 2J]: ``[bits_before_plane, group_bits,
+    sigpair_0..J-1, refine_0..J-1]`` — everything a host needs to splice a
+    chunk-masked stream out of the prefix-packed arena and to compute the
+    masked stream length.
+    """
+    g, j = spec.group_levels, spec.nchunks
+    pidx = (spec.nplanes - 1 - jnp.asarray(bstar, jnp.int32))[:, None, None]
+    row = jnp.take_along_axis(counts, pidx, axis=1)[:, 0]  # [B, S]
+    boundary = bits_at_plane_boundaries(counts)            # [B, P]
+    after = jnp.take_along_axis(boundary, pidx[..., 0], axis=1)[:, 0]
+    before = after - jnp.sum(row, axis=-1)
+    groups = jnp.sum(row[:, :g], axis=-1)
+    sigpair = row[:, g:g + 2 * j].reshape(-1, j, 2).sum(-1)
+    refine = row[:, g + 2 * j:]
+    return jnp.concatenate(
+        [before[:, None], groups[:, None], sigpair, refine],
+        axis=-1).astype(jnp.int32)
+
+
+def splice_masked_stream(stream: bytes, segs, keep_mask: int, nchunks: int):
+    """Host-side bit splice: drop the masked-out chunks of the final plane.
+
+    ``stream``: prefix-packed bytes covering at least the full final plane;
+    ``segs``: the [2 + 2J] row from :func:`mask_segments` for this frame;
+    ``keep_mask``: bit j set = stripe j kept.  Returns (bytes, nbits) of the
+    masked stream: [planes above ‖ groups ‖ kept sig+sign chunks ‖ kept
+    refine chunks], byte-padded with zeros.
+    """
+    import numpy as np
+
+    segs = [int(v) for v in segs]
+    before, groups = segs[0], segs[1]
+    sig = segs[2:2 + nchunks]
+    ref = segs[2 + nchunks:2 + 2 * nchunks]
+    bits = np.unpackbits(np.frombuffer(stream, np.uint8))
+    pieces = [bits[:before + groups]]
+    off = before + groups
+    for j in range(nchunks):
+        if (keep_mask >> j) & 1:
+            pieces.append(bits[off:off + sig[j]])
+        off += sig[j]
+    for j in range(nchunks):
+        if (keep_mask >> j) & 1:
+            pieces.append(bits[off:off + ref[j]])
+        off += ref[j]
+    out = np.concatenate(pieces)
+    nbits = int(out.size)
+    return np.packbits(out).tobytes(), nbits
+
+
 def recon_truncated(an: Analysis, b, sig_chunks=None, refine_chunks=None,
                     spec: CoderSpec = None):
     """Closed-form reconstruction at a truncation point inside plane ``b``.
@@ -316,16 +397,28 @@ def encode_frame(an: Analysis, trunc_bits, spec: CoderSpec, cap_words: int):
     return words, total
 
 
-def decode_frame(words, total_bits, max_step, spec: CoderSpec):
+def decode_frame(words, total_bits, max_step, spec: CoderSpec,
+                 mask_plane=None, keep_mask=None):
     """Structural decode of ONE frame's bitstream into float coefficients.
 
     Mirrors :func:`encode_frame`; reading beyond ``total_bits`` yields zeros,
     so any (chunk-aligned) prefix decodes to a valid approximation.
     Reconstruction uses the midpoint of each coefficient's uncertainty
     interval.
+
+    ``mask_plane`` / ``keep_mask`` (format v4 chunk masking): at plane
+    ``mask_plane``, level-0 chunk ``jj`` is present in the stream only when
+    bit ``jj`` of ``keep_mask`` is set — absent chunks consume no bits and
+    decode as past-the-end zeros.  ``mask_plane = -1`` (default) disables.
     """
     g, j = spec.group_levels, spec.nchunks
     h, w = spec.height, spec.width
+    if mask_plane is None:
+        mask_plane = jnp.int32(-1)
+    if keep_mask is None:
+        keep_mask = jnp.int32(-1)
+    mask_plane = jnp.asarray(mask_plane, jnp.int32)
+    keep_mask = jnp.asarray(keep_mask, jnp.int32)
     sid = stripe_id(spec)
     chunk_masks = [sid == jj for jj in range(j)]
     sig0 = tuple(jnp.zeros((h >> k, w >> k), bool) for k in range(g + 1))
@@ -357,8 +450,9 @@ def decode_frame(words, total_bits, max_step, spec: CoderSpec):
             sig[k] = sig[k] | (emit & (bits == 1))
         par0 = _upsample2(sig[1])
         new_all = jnp.zeros((h, w), bool)
-        for cm in chunk_masks:
-            emit0 = par0 & ~sig[0] & cm
+        for jj, cm in enumerate(chunk_masks):
+            present = (b != mask_plane) | (((keep_mask >> jj) & 1) == 1)
+            emit0 = par0 & ~sig[0] & cm & present
             bits0, _, offset = get(offset, emit0)
             new = emit0 & (bits0 == 1)
             sig[0] = sig[0] | new
@@ -368,8 +462,9 @@ def decode_frame(words, total_bits, max_step, spec: CoderSpec):
             sbits, _, offset = get(offset, new)
             neg = jnp.where(new, sbits == 1, neg)
         old = sig[0] & ~new_all
-        for cm in chunk_masks:
-            emit_r = old & cm
+        for jj, cm in enumerate(chunk_masks):
+            present = (b != mask_plane) | (((keep_mask >> jj) & 1) == 1)
+            emit_r = old & cm & present
             rbits, in_stream, offset = get(offset, emit_r)
             mag = jnp.where(emit_r, mag | (rbits << b), mag)
             last_plane = jnp.where(in_stream, b, last_plane)
@@ -395,6 +490,12 @@ def encode_batch(coef_int, trunc_bits, spec: CoderSpec, cap_words: int):
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
-def decode_batch(words, total_bits, max_step, spec: CoderSpec):
-    return jax.vmap(lambda w, t, m: decode_frame(w, t, m, spec))(
-        words, total_bits, max_step)
+def decode_batch(words, total_bits, max_step, spec: CoderSpec,
+                 mask_plane=None, keep_mask=None):
+    if mask_plane is None:
+        mask_plane = jnp.full(words.shape[0], -1, jnp.int32)
+    if keep_mask is None:
+        keep_mask = jnp.full(words.shape[0], -1, jnp.int32)
+    return jax.vmap(lambda w, t, m, mp, km: decode_frame(
+        w, t, m, spec, mask_plane=mp, keep_mask=km))(
+        words, total_bits, max_step, mask_plane, keep_mask)

@@ -128,3 +128,80 @@ def test_zero_frame():
     words, total, max_step = bp.encode_batch(coef, trunc, spec, cap_words)
     rec = bp.decode_batch(words, total, max_step, spec)
     np.testing.assert_array_equal(np.asarray(rec), 0.0)
+
+
+def _words_to_bytes(words, nbits):
+    return np.asarray(words).astype(">u4").tobytes()[: (int(nbits) + 7) // 8]
+
+
+def _bytes_to_words(stream, cap_words):
+    buf = stream + b"\x00" * (-len(stream) % 4)
+    w = np.frombuffer(buf, dtype=">u4").astype(np.uint32)
+    out = np.zeros(cap_words, np.uint32)
+    out[: len(w)] = w[:cap_words]
+    return out
+
+
+def test_masked_splice_decode_matches_closed_form():
+    """Splicing dropped chunks out of the final plane and decoding with the
+    chunk mask reproduces the closed-form masked reconstruction (format v4
+    semantics)."""
+    rng = np.random.default_rng(7)
+    spec = make_spec()
+    j = spec.nchunks
+    coef = random_coefs((2, spec.height, spec.width), rng)
+    an = bp.analyze(jnp.asarray(coef), spec)
+    counts = bp.segment_counts(an, spec)
+    cap_words = spec.height * spec.width
+    trunc = jnp.full((2,), cap_words * 32, jnp.int32)
+    words, total, max_step = bp.encode_batch(jnp.asarray(coef), trunc, spec,
+                                             cap_words)
+    words = np.asarray(words)
+    for bstar in (2, 4, 6):
+        bs = jnp.full((2,), bstar, jnp.int32)
+        segs = np.asarray(bp.mask_segments(counts, bs, spec))
+        for keep in (0b0101, 0b1110, 0b0001, 0b1111):
+            drop = np.array([[not ((keep >> jj) & 1) for jj in range(j)]] * 2)
+            expect = np.asarray(
+                bp.recon_masked(an, bs, jnp.asarray(drop), spec))
+            streams, nbits, mw = [], [], []
+            for i in range(2):
+                full = _words_to_bytes(
+                    words[i], int(segs[i].sum()))  # through end of plane bs
+                sb, nb = bp.splice_masked_stream(full, segs[i], keep, j)
+                assert nb == int(segs[i, 0] + segs[i, 1]) + sum(
+                    int(segs[i, 2 + jj] + segs[i, 2 + j + jj])
+                    for jj in range(j) if (keep >> jj) & 1)
+                streams.append(sb)
+                nbits.append(nb)
+                mw.append(_bytes_to_words(sb, cap_words))
+            rec = bp.decode_batch(
+                jnp.asarray(np.stack(mw)), jnp.asarray(nbits, jnp.int32),
+                max_step, spec,
+                mask_plane=jnp.full((2,), bstar, jnp.int32),
+                keep_mask=jnp.full((2,), keep, jnp.int32))
+            np.testing.assert_array_equal(np.asarray(rec), expect)
+
+
+def test_masked_full_keep_equals_plane_boundary_decode():
+    """keep_mask of all-ones degenerates to the plain plane-complete prefix."""
+    rng = np.random.default_rng(8)
+    spec = make_spec()
+    coef = random_coefs((1, spec.height, spec.width), rng)
+    an = bp.analyze(jnp.asarray(coef), spec)
+    counts = bp.segment_counts(an, spec)
+    cap_words = spec.height * spec.width
+    trunc = jnp.full((1,), cap_words * 32, jnp.int32)
+    words, _, max_step = bp.encode_batch(jnp.asarray(coef), trunc, spec,
+                                         cap_words)
+    bstar = 3
+    bs = jnp.full((1,), bstar, jnp.int32)
+    segs = np.asarray(bp.mask_segments(counts, bs, spec))
+    nb = int(segs[0].sum())
+    plain = bp.decode_batch(words, jnp.asarray([nb], jnp.int32), max_step,
+                            spec)
+    masked = bp.decode_batch(
+        words, jnp.asarray([nb], jnp.int32), max_step, spec,
+        mask_plane=jnp.full((1,), bstar, jnp.int32),
+        keep_mask=jnp.full((1,), (1 << spec.nchunks) - 1, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(masked))
