@@ -364,6 +364,7 @@ def compress(data, config: EBCCConfig | None = None, *,
 # fields of EncodeResult that differ per quantile candidate in
 # encode_error_bounded_multi (everything else is shared device buffers)
 _PER_Q_FIELDS = ("base_bits_q", "bs_q", "ks_q", "bs_r", "ks_r",
+                 "km_q", "km_r", "mbits_q", "mbits_r", "segs_q", "segs_r",
                  "rmin", "rmax", "dc_r", "max_step_r",
                  "resid_coef", "resid_bits", "resid_feasible",
                  "skip_residual", "resid_pack16", "resid_pack8",
@@ -458,19 +459,19 @@ def compress_multi_q(data, qs, config: EBCCConfig | None = None, *,
         for pq in perq_all:
             _check_plane_budget(dict(shared, **pq), config)
         # one base arena serves every candidate's truncation (embedded
-        # streams: all candidate rates are prefixes)
+        # streams: all candidate rates are prefixes; masked selections
+        # splice out of the same arena, needing their plane's end)
         trunc_b = np.maximum.reduce(
-            [pq["base_bits_q"] for pq in perq_all]).astype(np.int64)
-        trunc_b = np.maximum(trunc_b,
-                             shared["base_bits_pure"]).astype(np.int64)
-        res_b = dict(shared, base_bits_q=perq_all[0]["base_bits_q"])
-        base_stream = _pack_layer_streams(res_b, codec, rd0, "base",
+            [_arena_bits(pq, "q", pq["base_bits_q"]) for pq in perq_all])
+        trunc_b = np.maximum(trunc_b, _arena_bits(
+            shared, "pure", shared["base_bits_pure"]))
+        base_stream = _pack_layer_streams(shared, codec, rd0, "base",
                                           trunc_b)
         for k, res in enumerate(res_list):
             rd = res._asdict()
             resn = dict(shared, **perq_all[k])
             trunc_r = np.where(resn["skip_residual"], 0,
-                               resn["resid_bits"]).astype(np.int64)
+                               _arena_bits(resn, "r", resn["resid_bits"]))
             resid_stream = _pack_layer_streams(resn, codec, rd, "resid",
                                                trunc_r)
             streams = (base_stream, resid_stream)
@@ -489,7 +490,8 @@ def _zstd_stage(res, streams, n, config):
     for i in range(n):
         if res["const"][i] or res["skip_residual"][i]:
             continue
-        rb = resid_stream(i, int(res["resid_bits"][i]))
+        rb = resid_stream(i, int(res["mbits_r"][i]),
+                          int(res["km_r"][i]), res["segs_r"][i])
         if len(rb) > MIN_RESID_BYTES:
             rbytes.append(rb)
             idx.append(i)
@@ -527,10 +529,13 @@ def _pack_layer_streams(res, codec, rd, layer, trunc):
 
     Native host coder when available (native/ebcc_coder.cc); pure-JAX
     packer (ops/bitplane.py) otherwise.  Returns a per-frame callable
-    stream(i, bits) yielding trimmed byte streams — any prefix of the
-    embedded stream is valid, so one arena serves every truncation up to
-    ``trunc[i]``.  ``rd`` holds the not-yet-fetched device arrays
-    (coefficient forms).
+    stream(i, bits, km=-1, segs=None) yielding trimmed byte streams — any
+    prefix of the embedded stream is valid, so one arena serves every
+    truncation up to ``trunc[i]``.  ``km >= 0`` (format v4): the final
+    plane is chunk-masked; the stream is spliced out of the prefix arena
+    using the ``segs`` bit counts (bp.splice_masked_stream defines the
+    layout; trunc[i] must cover that plane's end).  ``rd`` holds the
+    not-yet-fetched device arrays (coefficient forms).
     """
     geom = codec.base if layer == "base" else codec.resid
     spec = geom.spec
@@ -538,7 +543,7 @@ def _pack_layer_streams(res, codec, rd, layer, trunc):
         # no frame keeps any bits of this layer (typical for the residual
         # when pure base wins everywhere): skip the coefficient fetch —
         # the layer's forms never cross the link
-        return lambda i, bits: b""
+        return lambda i, bits, km=-1, segs=None: b""
     if _native.HAVE_NATIVE:
         form = _fetch_coef(res, rd, layer)
         if form[0] == "sparse":
@@ -552,7 +557,7 @@ def _pack_layer_streams(res, codec, rd, layer, trunc):
                 coef, trunc, spec.group_levels, spec.nplanes, spec.nchunks,
                 shifts=shifts)
 
-        def stream(i, bits):
+        def raw(i, bits):
             return arena[i, : (int(bits) + 7) // 8].tobytes()
     else:
         # guard the bound contract: the word buffers must hold every bit the
@@ -566,18 +571,35 @@ def _pack_layer_streams(res, codec, rd, layer, trunc):
                                       spec, geom.cap_words)
         words = np.asarray(words)
 
-        def stream(i, bits):
+        def raw(i, bits):
             return _words_to_bytes(words[i], int(bits))
+
+    def stream(i, bits, km=-1, segs=None):
+        if km < 0:
+            return raw(i, bits)
+        sb, nbits = bp.splice_masked_stream(raw(i, int(np.sum(segs))),
+                                            segs, km, spec.nchunks)
+        assert nbits == int(bits), "masked stream length mismatch"
+        return sb
 
     return stream
 
 
+def _arena_bits(res, sel, bits):
+    """Arena coverage one selection needs: its prefix bits, or — when its
+    final plane is chunk-masked — that plane's end (the splice pulls kept
+    refine chunks from the plane tail)."""
+    km = np.asarray(res[f"km_{sel}"])
+    segs = np.asarray(res[f"segs_{sel}"], np.int64)
+    return np.where(km >= 0, segs.sum(-1), np.asarray(bits, np.int64))
+
+
 def _pack_streams(res, codec, rd):
-    """Both layers' stream packers: (base(i, bits), resid(i, bits))."""
-    trunc_b = np.maximum(res["base_bits_q"],
-                         res["base_bits_pure"]).astype(np.int64)
+    """Both layers' stream packers: (base(...), resid(...))."""
+    trunc_b = np.maximum(_arena_bits(res, "q", res["base_bits_q"]),
+                         _arena_bits(res, "pure", res["base_bits_pure"]))
     trunc_r = np.where(res["skip_residual"], 0,
-                       res["resid_bits"]).astype(np.int64)
+                       _arena_bits(res, "r", res["resid_bits"]))
     return (_pack_layer_streams(res, codec, rd, "base", trunc_b),
             _pack_layer_streams(res, codec, rd, "resid", trunc_r))
 
@@ -616,8 +638,13 @@ def _assemble_frame(res, i, h, w, config, mode, streams, zblobs) -> bytes:
         return container.pack_frame(int(mode), h, w, mn, mx, const=True,
                                     tot_size=h * w, geom=_geom(config))
     base_stream, _ = streams
-    bits_q = int(res["base_bits_q"][i])
-    bits_pure = int(res["base_bits_pure"][i])
+    bits_q = int(res["mbits_q"][i])
+    bits_pure = int(res["mbits_pure"][i])
+    km_q, km_pure = int(res["km_q"][i]), int(res["km_pure"][i])
+    mask_q = ((int(res["bs_q"][i]), km_q) if km_q >= 0
+              else (container.MASK_NONE, 0))
+    mask_pure = ((int(res["bs_pure"][i]), km_pure) if km_pure >= 0
+                 else (container.MASK_NONE, 0))
     base_meta = dict(dc_b=float(res["dc_b"][i]),
                      max_step_b=int(res["max_step_b"][i]))
     skip = bool(res["skip_residual"][i])
@@ -628,18 +655,21 @@ def _assemble_frame(res, i, h, w, config, mode, streams, zblobs) -> bytes:
 
     resid_part = None
     if not skip:
-        rbits = int(res["resid_bits"][i])
+        rbits = int(res["mbits_r"][i])
+        km_r = int(res["km_r"][i])
+        rmask = ((int(res["bs_r"][i]), km_r) if km_r >= 0
+                 else (container.MASK_NONE, 0))
         zblob = zblobs.get(i)
         if zblob is not None:
             resid_part = (float(res["rmin"][i]), float(res["rmax"][i]),
                           float(res["dc_r"][i]), int(res["max_step_r"][i]),
-                          rbits, zblob)
+                          rbits, zblob, *rmask)
         else:
             elog.debug("frame %d: residual dropped (<= %d bytes)",
                        i, MIN_RESID_BYTES)
 
-    def pack_variant(bits, rpart):
-        raw = base_stream(i, bits)
+    def pack_variant(bits, rpart, km, segs, bmask):
+        raw = base_stream(i, bits, km, segs)
         # final entropy stage on the base stream (the reference's base
         # layer is arithmetic-coded inside JPEG2000; ours is raw bitplane
         # output, worth a few percent to zstd)
@@ -648,17 +678,19 @@ def _assemble_frame(res, i, h, w, config, mode, streams, zblobs) -> bytes:
         return container.pack_frame(
             int(mode), h, w, mn, mx,
             base_stream=stream, base_nbits=bits, base_z=base_z,
-            geom=_geom(config), resid=rpart,
+            geom=_geom(config), resid=rpart, base_mask=bmask,
             pointwise=mode == ResidualMode.POINTWISE_MAX_ERROR, **base_meta)
 
-    combined = pack_variant(bits_q, resid_part)
+    combined = pack_variant(bits_q, resid_part, km_q, res["segs_q"][i],
+                            mask_q)
     if not error_bounded:
         return combined
     # pure-base fallback comparison (j2k_codec.h:663-695)
     pure_required = (not skip) and (resid_part is None or not resid_feasible)
     if pure_fallback_disabled() and not pure_required:
         return combined
-    pure = pack_variant(bits_pure, None)
+    pure = pack_variant(bits_pure, None, km_pure, res["segs_pure"][i],
+                        mask_pure)
     # prefer pure only when it actually meets the bound (or is the last
     # resort because the residual path failed) — a smaller-but-infeasible
     # pure stream must not win
@@ -757,9 +789,23 @@ def decompress(blob: bytes, config: EBCCConfig | None = None) -> np.ndarray:
         rmn = np.zeros(bsz, np.float32)
         rmx = np.zeros(bsz, np.float32)
         dcr = np.zeros(bsz, np.float32)
+        mask_b = np.full(bsz, -1, np.int32)
+        keep_b = np.zeros(bsz, np.int32)
+        mask_r = np.full(bsz, -1, np.int32)
+        keep_r = np.zeros(bsz, np.int32)
         zlist, zmax, zpos = [], [], []
         for k, idx in enumerate(idxs):
             hdr, zblob, base_stream, _ = metas[idx]
+            if hdr.base_mask_plane != container.MASK_NONE:
+                if hdr.base_mask_plane >= hdr.base_nplanes:
+                    raise ValueError("corrupt EBCC-TPU frame header")
+                mask_b[k] = hdr.base_mask_plane
+                keep_b[k] = hdr.base_keep_mask
+            if hdr.resid_mask_plane != container.MASK_NONE:
+                if hdr.resid_mask_plane >= hdr.resid_nplanes:
+                    raise ValueError("corrupt EBCC-TPU frame header")
+                mask_r[k] = hdr.resid_mask_plane
+                keep_r[k] = hdr.resid_keep_mask
             if hdr.flags & container.FLAG_BASE_Z:
                 base_stream = _zstd_decompress(
                     base_stream, (hdr.base_nbits + 7) // 8)
@@ -794,20 +840,24 @@ def decompress(blob: bytes, config: EBCCConfig | None = None) -> np.ndarray:
             bspec, rspec = codec.base.spec, codec.resid.spec
             v16_b, bend_b, ok_b = _native.coder_decode_batch_u16(
                 base_streams, bb, msb_, bspec.height, bspec.width,
-                bspec.group_levels, bspec.nplanes, bspec.nchunks)
+                bspec.group_levels, bspec.nplanes, bspec.nchunks,
+                mask_plane=mask_b, keep_mask=keep_b)
             v16_r, bend_r, ok_r = _native.coder_decode_batch_u16(
                 resid_streams, rb, msr, rspec.height, rspec.width,
-                rspec.group_levels, rspec.nplanes, rspec.nchunks)
+                rspec.group_levels, rspec.nplanes, rspec.nchunks,
+                mask_plane=mask_r, keep_mask=keep_r)
             if ok_b.all() and ok_r.all():
                 dev = codec.recon_packed(v16_b, bend_b, mn, mx, dcb, hasr,
                                          v16_r, bend_r, rmn, rmx, dcr)
             else:  # >14 decoded planes somewhere: full-precision path
                 coef_b = _native.coder_decode_batch(
                     base_streams, bb, msb_, bspec.height, bspec.width,
-                    bspec.group_levels, bspec.nplanes, bspec.nchunks)
+                    bspec.group_levels, bspec.nplanes, bspec.nchunks,
+                    mask_plane=mask_b, keep_mask=keep_b)
                 coef_r = _native.coder_decode_batch(
                     resid_streams, rb, msr, rspec.height, rspec.width,
-                    rspec.group_levels, rspec.nplanes, rspec.nchunks)
+                    rspec.group_levels, rspec.nplanes, rspec.nchunks,
+                    mask_plane=mask_r, keep_mask=keep_r)
                 dev = codec.recon(coef_b, mn, mx, dcb, hasr,
                                   coef_r, rmn, rmx, dcr)
         else:
@@ -821,7 +871,8 @@ def decompress(blob: bytes, config: EBCCConfig | None = None) -> np.ndarray:
             rw = np.stack([_bytes_to_words(s, codec.resid.cap_words)
                            for s in resid_streams])
             dev = codec.decode(bw, bb, msb_, mn, mx, dcb, hasr,
-                               rw, rb, msr, rmn, rmx, dcr)
+                               rw, rb, msr, rmn, rmx, dcr,
+                               mask_b, keep_b, mask_r, keep_r)
         try:
             dev.copy_to_host_async()
         except (AttributeError, RuntimeError):

@@ -21,11 +21,14 @@ FLAG_POINTWISE = 4
 FLAG_BASE_Z = 8     # base bitstream is zstd-compressed (raw size from
                     # base_nbits)
 
-_HDR = struct.Struct("<4sBBHII ff fI B BBBBB")  # fixed part
-_RES = struct.Struct("<fffBIQ")                # residual part
+_HDR3 = struct.Struct("<4sBBHII ff fI B BBBBB")   # v3 fixed part
+_HDR = struct.Struct("<4sBBHII ff fI B BBBBB BH")  # v4: + mask_plane, keep
+_RES3 = struct.Struct("<fffBIQ")                   # v3 residual part
+_RES = struct.Struct("<fffBIQBH")                  # v4: + mask_plane, keep
 # fields: magic, version, flags, mode, h, w | mn, mx | dc_b, base_nbits,
 # max_step_b | base_levels, resid_levels, nchunks, base_nplanes,
-# resid_nplanes ; residual: rmin, rmax, dc_r, max_step_r, resid_nbits, zlen
+# resid_nplanes | base_mask_plane, base_keep_mask ; residual: rmin, rmax,
+# dc_r, max_step_r, resid_nbits, zlen, resid_mask_plane, resid_keep_mask
 #
 # The coder-geometry fields make frames self-describing: the bitstream
 # layout depends on them, so a decoder must not rely on its own config
@@ -35,9 +38,12 @@ _RES = struct.Struct("<fffBIQ")                # residual part
 # weights); 3 = weight tables quantised to the 1/1024 grid
 # (docs/FORMAT.md) — the weights are part of the stream semantics, so
 # decoding a v2 stream with v3 weights would silently shift the
-# reconstruction; the version byte rejects the mix instead.
+# reconstruction; the version byte rejects the mix instead; 4 = chunk-
+# masked last-plane truncation (per-layer mask_plane + keep_mask header
+# fields; MASK_NONE = no masking).  v4 readers accept v3 streams.
 
-VERSION = 3
+VERSION = 4
+MASK_NONE = 0xFF  # mask_plane sentinel: layer is a pure prefix (no mask)
 
 
 class FrameHeader(NamedTuple):
@@ -61,6 +67,10 @@ class FrameHeader(NamedTuple):
     max_step_r: int
     resid_nbits: int
     zlen: int
+    base_mask_plane: int = MASK_NONE
+    base_keep_mask: int = 0
+    resid_mask_plane: int = MASK_NONE
+    resid_keep_mask: int = 0
 
 
 def pack_frame(mode: int, h: int, w: int, mn: float, mx: float, *,
@@ -68,12 +78,15 @@ def pack_frame(mode: int, h: int, w: int, mn: float, mx: float, *,
                dc_b: float = 0.0, base_nbits: int = 0, max_step_b: int = 0,
                base_stream: bytes = b"", base_z: bool = False,
                geom: tuple = (0, 0, 0, 0, 0),
-               resid: tuple | None = None, pointwise: bool = False) -> bytes:
+               resid: tuple | None = None, pointwise: bool = False,
+               base_mask: tuple = (MASK_NONE, 0)) -> bytes:
     """Serialize one frame.  ``resid`` = (rmin, rmax, dc_r, max_step_r,
-    resid_nbits, zstd_blob) or None.  ``base_z``: base_stream bytes are
-    zstd-compressed.  ``geom`` = (base_levels, resid_levels, nchunks,
-    base_nplanes, resid_nplanes) — the coder geometry the streams were
-    produced with."""
+    resid_nbits, zstd_blob[, mask_plane, keep_mask]) or None.  ``base_z``:
+    base_stream bytes are zstd-compressed.  ``geom`` = (base_levels,
+    resid_levels, nchunks, base_nplanes, resid_nplanes) — the coder geometry
+    the streams were produced with.  ``base_mask`` = (mask_plane, keep_mask)
+    for the chunk-masked final plane of the base layer (format v4);
+    (MASK_NONE, 0) means the stream is a pure prefix."""
     flags = (FLAG_CONST if const else 0) | (FLAG_POINTWISE if pointwise else 0)
     if base_z:
         flags |= FLAG_BASE_Z
@@ -81,30 +94,37 @@ def pack_frame(mode: int, h: int, w: int, mn: float, mx: float, *,
         flags |= FLAG_RESID
     if const:
         head = _HDR.pack(MAGIC, VERSION, flags, mode, h, w, mn, mx, 0.0, 0,
-                         0, *geom)
+                         0, *geom, MASK_NONE, 0)
         return head + struct.pack("<Q", tot_size)
     head = _HDR.pack(MAGIC, VERSION, flags, mode, h, w, mn, mx,
-                     dc_b, base_nbits, max_step_b, *geom)
+                     dc_b, base_nbits, max_step_b, *geom, *base_mask)
     parts = [head]
     if resid is not None:
-        rmin, rmax, dc_r, max_step_r, resid_nbits, zblob = resid
+        rmin, rmax, dc_r, max_step_r, resid_nbits, zblob = resid[:6]
+        rmask = resid[6:] if len(resid) > 6 else (MASK_NONE, 0)
         parts.append(_RES.pack(rmin, rmax, dc_r, max_step_r, resid_nbits,
-                               len(zblob)))
+                               len(zblob), *rmask))
         parts.append(zblob)
     parts.append(base_stream)
     return b"".join(parts)
 
 
 def unpack_frame(buf: bytes):
-    """Parse one frame; returns (header: FrameHeader, zblob, base_stream,
-    tot_size)."""
-    if len(buf) < _HDR.size or buf[:4] != MAGIC:
+    """Parse one frame (format v3 or v4); returns (header: FrameHeader,
+    zblob, base_stream, tot_size)."""
+    if len(buf) < _HDR3.size or buf[:4] != MAGIC:
         raise ValueError("not an EBCC-TPU frame")
-    (magic, ver, flags, mode, h, w, mn, mx, dc_b, base_nbits, max_step_b,
-     bl, rl, nc, bp_, rp) = _HDR.unpack_from(buf, 0)
-    if magic != MAGIC or ver != VERSION:
+    ver = buf[4]
+    if ver not in (3, VERSION):
         raise ValueError(f"unsupported EBCC-TPU frame version {ver}")
-    off = _HDR.size
+    hdr_s, res_s = (_HDR, _RES) if ver == VERSION else (_HDR3, _RES3)
+    if len(buf) < hdr_s.size:
+        raise ValueError("not an EBCC-TPU frame")
+    fields = hdr_s.unpack_from(buf, 0)
+    (magic, _, flags, mode, h, w, mn, mx, dc_b, base_nbits, max_step_b,
+     bl, rl, nc, bp_, rp) = fields[:16]
+    bmp, bkeep = fields[16:] if ver == VERSION else (MASK_NONE, 0)
+    off = hdr_s.size
     if flags & FLAG_CONST:
         (tot,) = struct.unpack_from("<Q", buf, off)
         hdr = FrameHeader(flags, mode, h, w, mn, mx, 0.0, 0, 0,
@@ -112,17 +132,21 @@ def unpack_frame(buf: bytes):
         return hdr, b"", b"", tot
     rmin = rmax = dc_r = 0.0
     max_step_r = resid_nbits = zlen = 0
+    rmp, rkeep = MASK_NONE, 0
     zblob = b""
     if flags & FLAG_RESID:
-        rmin, rmax, dc_r, max_step_r, resid_nbits, zlen = \
-            _RES.unpack_from(buf, off)
-        off += _RES.size
+        rfields = res_s.unpack_from(buf, off)
+        rmin, rmax, dc_r, max_step_r, resid_nbits, zlen = rfields[:6]
+        if ver == VERSION:
+            rmp, rkeep = rfields[6:]
+        off += res_s.size
         zblob = buf[off:off + zlen]
         off += zlen
     base_stream = buf[off:]
     hdr = FrameHeader(flags, mode, h, w, mn, mx, dc_b, base_nbits,
                       max_step_b, bl, rl, nc, bp_, rp,
-                      rmin, rmax, dc_r, max_step_r, resid_nbits, zlen)
+                      rmin, rmax, dc_r, max_step_r, resid_nbits, zlen,
+                      bmp, bkeep, rmp, rkeep)
     return hdr, zblob, base_stream, 0
 
 

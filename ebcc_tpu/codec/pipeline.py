@@ -84,6 +84,21 @@ class EncodeResult(NamedTuple):
     ks_pure: jax.Array
     bs_r: jax.Array
     ks_r: jax.Array
+    # format-v4 chunk masks of each selection's final plane: km_* is the
+    # keep bitmask (-1 = pure prefix, no mask), mbits_* the FINAL stream
+    # length (masked length, or the prefix length when unmasked; the bits
+    # fields above always report the prefix candidate), segs_* the
+    # [2 + 2J] per-segment bit counts of plane bs_* the host needs to
+    # splice the masked stream out of the prefix arena (bp.mask_segments)
+    km_q: jax.Array
+    km_pure: jax.Array
+    km_r: jax.Array
+    mbits_q: jax.Array
+    mbits_pure: jax.Array
+    mbits_r: jax.Array
+    segs_q: jax.Array
+    segs_pure: jax.Array
+    segs_r: jax.Array
     rmin: jax.Array
     rmax: jax.Array
     dc_r: jax.Array
@@ -277,6 +292,68 @@ class FrameCodec:
         maxd = jnp.where(any_ok, maxd_f, maxd_p)
         return bits, any_ok, maxd, bstar, kstar
 
+    # ---------------- chunk-mask search (format v4) ----------------
+    #
+    # The fine-truncation PREFIX keeps low-value chunks of the final plane
+    # because they come first in scan order; the bit cost of that plane is
+    # strongly non-uniform across chunks (scripts/stripe_adaptive_study.py:
+    # 6-9% of the base stream is prefix-kept but not needed by the bound).
+    # After the prefix search picks plane bs, a greedy per-chunk pass tries
+    # to DROP each final-plane chunk outright — a drop is kept only if the
+    # reconstruction with all so-far-accepted drops still meets the
+    # feasibility rule, so the final mask is feasible by construction.
+    # The native CPU encoder mirrors the exact greedy order and accept
+    # rule (ebcc_cpu_encoder.cc) so containers stay byte-identical.
+
+    def _mask_enabled(self, geom) -> bool:
+        return (self.config.use_chunk_mask and
+                geom.spec.nchunks <= 16)  # keep mask is u16 in the header
+
+    def _search_mask(self, an, geom, recon_fn, data_ref, target, qallow,
+                     bstar, prefix_bits, feasible, counts):
+        """Greedy chunk mask of plane ``bstar``.  Returns (use [B] bool,
+        km [B] i32 keep bitmask or -1, mbits [B] final bits, maxd_m [B]
+        masked max-excess, drop [B, J] bool, segs [B, 2+2J])."""
+        spec = geom.spec
+        j = spec.nchunks
+        nb = an.mag.shape[0]
+        tgt = target if target.ndim == 3 else target[:, None, None]
+        segs = bp.mask_segments(counts, bstar, spec)
+        if not self._mask_enabled(geom):
+            off = jnp.zeros(nb, bool)
+            return (off, jnp.full(nb, -1, jnp.int32),
+                    jnp.asarray(prefix_bits, jnp.int32),
+                    jnp.zeros(nb, jnp.float32), jnp.zeros((nb, j), bool),
+                    segs)
+
+        def stats_of(drop):
+            rec = bp.recon_masked(an, bstar, drop, spec)
+            err = jnp.abs(data_ref - recon_fn(rec)) - tgt
+            return (jnp.max(err, axis=(-2, -1)),
+                    jnp.mean(err > 0, axis=(-2, -1)))
+
+        def ok_of(maxd, viol):
+            return jnp.where(qallow > 0, viol <= qallow, maxd <= 0)
+
+        def body(drop, jj):
+            cand = drop.at[:, jj].set(True)
+            ok = ok_of(*stats_of(cand)) & feasible
+            return jnp.where(ok[:, None], cand, drop), None
+
+        drop, _ = jax.lax.scan(body, jnp.zeros((nb, j), bool),
+                               jnp.arange(j))
+        keep = ~drop
+        kept_bits = jnp.sum(
+            jnp.where(keep, segs[:, 2:2 + j] + segs[:, 2 + j:], 0), axis=-1)
+        mbits = segs[:, 0] + segs[:, 1] + kept_bits
+        km = jnp.sum(keep.astype(jnp.int32)
+                     << jnp.arange(j, dtype=jnp.int32)[None, :], axis=-1)
+        prefix_bits = jnp.asarray(prefix_bits, jnp.int32)
+        use = feasible & jnp.any(drop, axis=-1) & (mbits < prefix_bits)
+        maxd_m, _ = stats_of(drop)
+        return (use, jnp.where(use, km, -1),
+                jnp.where(use, mbits, prefix_bits), maxd_m, drop, segs)
+
     @staticmethod
     def _pack_small(ci, max_step, b_low):
         """Compact u16/u8 transfer forms of integer coefficients.
@@ -351,8 +428,8 @@ class FrameCodec:
         def recon_b(rc):
             return self._base_recon(rc, mn, mx, dc)
 
-        cand_b = bp.candidate_bits(bp.segment_counts(an_b, self.base.spec),
-                                   self.base.spec)
+        counts_b = bp.segment_counts(an_b, self.base.spec)
+        cand_b = bp.candidate_bits(counts_b, self.base.spec)
         bits_q, feas_q, maxd_q, bs_q, ks_q = self._search_truncation(
             an_b, self.base, recon_b, data, target, qbase, cand=cand_b)
         # pure fallback: same embedded stream, quantile target 1.0
@@ -360,8 +437,22 @@ class FrameCodec:
         bits_pure, feas_pure, _, bs_pure, ks_pure = self._search_truncation(
             an_b, self.base, recon_b, data, target, jnp.float32(0.0),
             cand=cand_b)
+        use_mq, km_q, mbits_q, maxd_qm, drop_q, segs_q = self._search_mask(
+            an_b, self.base, recon_b, data, target, qbase, bs_q, bits_q,
+            feas_q, counts_b)
+        _, km_pure, mbits_pure, _, _, segs_pure = self._search_mask(
+            an_b, self.base, recon_b, data, target, jnp.float32(0.0),
+            bs_pure, bits_pure, feas_pure, counts_b)
 
-        base_rec = recon_b(self._recon_at(an_b, self.base, bs_q, ks_q))
+        # the decoder's view of the base layer is the MASKED reconstruction
+        # when the mask wins; the residual must be computed against it
+        coef_q = self._recon_at(an_b, self.base, bs_q, ks_q)
+        if self._mask_enabled(self.base):
+            coef_q = jnp.where(use_mq[:, None, None],
+                               bp.recon_masked(an_b, bs_q, drop_q,
+                                               self.base.spec), coef_q)
+            maxd_q = jnp.where(use_mq, maxd_qm, maxd_q)
+        base_rec = recon_b(coef_q)
         resid = data - base_rec
         skip_residual = maxd_q <= 0  # "Skip Residual 1" (j2k_codec.h:584)
 
@@ -371,8 +462,13 @@ class FrameCodec:
         def recon_r(rc):
             return base_rec + self._resid_recon(rc, rmin, rmax, dcr)
 
+        counts_r = bp.segment_counts(an_r, self.resid.spec)
         resid_bits, resid_feas, _, bs_r, ks_r = self._search_truncation(
-            an_r, self.resid, recon_r, data, target, jnp.float32(0.0))
+            an_r, self.resid, recon_r, data, target, jnp.float32(0.0),
+            cand=bp.candidate_bits(counts_r, self.resid.spec))
+        _, km_r, mbits_r, _, _, segs_r = self._search_mask(
+            an_r, self.resid, recon_r, data, target, jnp.float32(0.0),
+            bs_r, resid_bits, resid_feas, counts_r)
 
         pb16, pb8, sb16, sb8, okb16, okb8 = self._pack_small(
             ci, an_b.max_step, jnp.minimum(bs_q, bs_pure))
@@ -390,6 +486,9 @@ class FrameCodec:
             base_bits_pure=bits_pure, base_feasible_pure=feas_pure,
             bs_q=bs_q, ks_q=ks_q, bs_pure=bs_pure, ks_pure=ks_pure,
             bs_r=bs_r, ks_r=ks_r,
+            km_q=km_q, km_pure=km_pure, km_r=km_r,
+            mbits_q=mbits_q, mbits_pure=mbits_pure, mbits_r=mbits_r,
+            segs_q=segs_q, segs_pure=segs_pure, segs_r=segs_r,
             rmin=rmin, rmax=rmax, dc_r=dcr, max_step_r=an_r.max_step,
             resid_coef=cir.astype(jnp.float32), resid_bits=resid_bits,
             resid_feasible=resid_feas, skip_residual=skip_residual,
@@ -421,18 +520,30 @@ class FrameCodec:
         def recon_b(rc):
             return self._base_recon(rc, mn, mx, dc)
 
-        cand_b = bp.candidate_bits(bp.segment_counts(an_b, self.base.spec),
-                                   self.base.spec)
+        counts_b = bp.segment_counts(an_b, self.base.spec)
+        cand_b = bp.candidate_bits(counts_b, self.base.spec)
         bits_pure, feas_pure, _, bs_pure, ks_pure = self._search_truncation(
             an_b, self.base, recon_b, data, target, jnp.float32(0.0),
             cand=cand_b)
+        _, km_pure, mbits_pure, _, _, segs_pure = self._search_mask(
+            an_b, self.base, recon_b, data, target, jnp.float32(0.0),
+            bs_pure, bits_pure, feas_pure, counts_b)
 
         per_q = []
         bs_min = bs_pure
         for k in range(qs.shape[0]):
-            bits_q, _, maxd_q, bs_q, ks_q = self._search_truncation(
+            bits_q, feas_q, maxd_q, bs_q, ks_q = self._search_truncation(
                 an_b, self.base, recon_b, data, target, qs[k], cand=cand_b)
-            base_rec = recon_b(self._recon_at(an_b, self.base, bs_q, ks_q))
+            use_mq, km_q, mbits_q, maxd_qm, drop_q, segs_q = \
+                self._search_mask(an_b, self.base, recon_b, data, target,
+                                  qs[k], bs_q, bits_q, feas_q, counts_b)
+            coef_q = self._recon_at(an_b, self.base, bs_q, ks_q)
+            if self._mask_enabled(self.base):
+                coef_q = jnp.where(use_mq[:, None, None],
+                                   bp.recon_masked(an_b, bs_q, drop_q,
+                                                   self.base.spec), coef_q)
+                maxd_q = jnp.where(use_mq, maxd_qm, maxd_q)
+            base_rec = recon_b(coef_q)
             resid = data - base_rec
             skip_residual = maxd_q <= 0
             rmin, rmax, dcr, cir = self._resid_transform(resid)
@@ -441,14 +552,21 @@ class FrameCodec:
             def recon_r(rc, _b=base_rec, _rmin=rmin, _rmax=rmax, _dcr=dcr):
                 return _b + self._resid_recon(rc, _rmin, _rmax, _dcr)
 
+            counts_r = bp.segment_counts(an_r, self.resid.spec)
             resid_bits, resid_feas, _, bs_r, ks_r = self._search_truncation(
-                an_r, self.resid, recon_r, data, target, jnp.float32(0.0))
+                an_r, self.resid, recon_r, data, target, jnp.float32(0.0),
+                cand=bp.candidate_bits(counts_r, self.resid.spec))
+            _, km_r, mbits_r, _, _, segs_r = self._search_mask(
+                an_r, self.resid, recon_r, data, target, jnp.float32(0.0),
+                bs_r, resid_bits, resid_feas, counts_r)
             pr16, pr8, sr16, sr8, okr16, okr8 = self._pack_small(
                 cir, an_r.max_step,
                 jnp.where(skip_residual, self.resid.spec.nplanes, bs_r))
             per_q.append(dict(
                 base_bits_q=bits_q, bs_q=bs_q, ks_q=ks_q, bs_r=bs_r,
-                ks_r=ks_r, rmin=rmin, rmax=rmax, dc_r=dcr,
+                ks_r=ks_r, km_q=km_q, km_r=km_r, mbits_q=mbits_q,
+                mbits_r=mbits_r, segs_q=segs_q, segs_r=segs_r,
+                rmin=rmin, rmax=rmax, dc_r=dcr,
                 max_step_r=an_r.max_step,
                 resid_coef=cir.astype(jnp.float32), resid_bits=resid_bits,
                 resid_feasible=resid_feas, skip_residual=skip_residual,
@@ -465,6 +583,7 @@ class FrameCodec:
             mn=mn, mx=mx, const=const, dc_b=dc, max_step_b=an_b.max_step,
             base_coef=ci.astype(jnp.float32), base_bits_pure=bits_pure,
             base_feasible_pure=feas_pure, bs_pure=bs_pure, ks_pure=ks_pure,
+            km_pure=km_pure, mbits_pure=mbits_pure, segs_pure=segs_pure,
             base_pack16=pb16, base_pack8=pb8, base_shift=sb16,
             base_shift8=sb8, base_pack16_ok=okb16, base_pack8_ok=okb8,
             base_sp_delta=spd, base_sp_val=spv, base_nsig=nsig,
@@ -513,11 +632,21 @@ class FrameCodec:
             jnp.where(use_resid, bs_r, self.resid.spec.nplanes))
         spd, spv, nsig, oksp = self._sparsify(pb16, okb16)
 
+        # rate-targeted modes have no error criterion to mask against:
+        # streams stay pure prefixes (km = -1)
+        nb = data.shape[0]
+        noseg = jnp.zeros((nb, 2 + 2 * self.base.spec.nchunks), jnp.int32)
+        nokm = jnp.full(nb, -1, jnp.int32)
         return EncodeResult(
             mn=mn, mx=mx, const=const, dc_b=dc, max_step_b=an_b.max_step,
             base_coef=ci.astype(jnp.float32), base_bits_q=bits_b,
             base_bits_pure=bits_b, base_feasible_pure=jnp.zeros_like(const),
             bs_q=bs, ks_q=ks, bs_pure=bs, ks_pure=ks, bs_r=bs_r, ks_r=ks_r,
+            km_q=nokm, km_pure=nokm, km_r=nokm,
+            mbits_q=jnp.asarray(bits_b, jnp.int32),
+            mbits_pure=jnp.asarray(bits_b, jnp.int32),
+            mbits_r=jnp.asarray(jnp.where(use_resid, bits_r, 0), jnp.int32),
+            segs_q=noseg, segs_pure=noseg, segs_r=noseg,
             rmin=rmin, rmax=rmax, dc_r=dcr, max_step_r=an_r.max_step,
             resid_coef=cir.astype(jnp.float32),
             resid_bits=jnp.where(use_resid, bits_r, 0),
@@ -564,12 +693,16 @@ class FrameCodec:
 
     def _decode_stage(self, base_words, base_bits, max_step_b, mn, mx, dc,
                       has_resid, resid_words, resid_bits, max_step_r,
-                      rmin, rmax, dcr):
-        """Pure-JAX decode path (fallback + the all-device dryrun path)."""
+                      rmin, rmax, dcr, mask_b=None, keep_b=None,
+                      mask_r=None, keep_r=None):
+        """Pure-JAX decode path (fallback + the all-device dryrun path).
+        ``mask_*``/``keep_*`` [B]: format-v4 chunk masks (-1 = none)."""
         rc = bp.decode_batch(base_words, base_bits, max_step_b,
-                             self.base.spec)
+                             self.base.spec, mask_plane=mask_b,
+                             keep_mask=keep_b)
         rr = bp.decode_batch(resid_words, resid_bits, max_step_r,
-                             self.resid.spec)
+                             self.resid.spec, mask_plane=mask_r,
+                             keep_mask=keep_r)
         return self._recon_stage(rc, mn, mx, dc, has_resid, rr,
                                  rmin, rmax, dcr)
 

@@ -32,13 +32,21 @@ def _validate_header(hdr) -> None:
             not 1 <= hdr.base_nplanes <= 30 or hdr.resid_nplanes > 30 or
             hdr.max_step_b > 30 or hdr.max_step_r > 30 or
             hdr.base_nbits > 64 * hdr.h * hdr.w or
-            hdr.resid_nbits > 64 * hdr.h * hdr.w):
+            hdr.resid_nbits > 64 * hdr.h * hdr.w or
+            not (hdr.base_mask_plane == container.MASK_NONE or
+                 hdr.base_mask_plane < hdr.base_nplanes) or
+            not (hdr.resid_mask_plane == container.MASK_NONE or
+                 hdr.resid_mask_plane < hdr.resid_nplanes)):
         raise ValueError("corrupt EBCC-TPU frame header")
 
 
 def _decode_one(lib, hdr, base_stream: bytes, resid_stream: bytes,
                 has_resid: bool) -> np.ndarray:
     frame = np.empty((hdr.h, hdr.w), np.float32)
+    bmp = (-1 if hdr.base_mask_plane == container.MASK_NONE
+           else hdr.base_mask_plane)
+    rmp = (-1 if hdr.resid_mask_plane == container.MASK_NONE
+           else hdr.resid_mask_plane)
     rc = lib.ebcc_cpu_decode_frame(
         ctypes.cast(ctypes.c_char_p(base_stream),
                     ctypes.POINTER(ctypes.c_uint8)),
@@ -48,6 +56,7 @@ def _decode_one(lib, hdr, base_stream: bytes, resid_stream: bytes,
         ctypes.c_int(hdr.h), ctypes.c_int(hdr.w),
         ctypes.c_int(hdr.base_levels), ctypes.c_int(hdr.base_nplanes),
         ctypes.c_int(hdr.nchunks),
+        ctypes.c_int(bmp), ctypes.c_uint32(hdr.base_keep_mask),
         ctypes.c_int(1 if has_resid else 0),
         ctypes.cast(ctypes.c_char_p(resid_stream),
                     ctypes.POINTER(ctypes.c_uint8)),
@@ -55,6 +64,7 @@ def _decode_one(lib, hdr, base_stream: bytes, resid_stream: bytes,
         ctypes.c_float(hdr.rmin), ctypes.c_float(hdr.rmax),
         ctypes.c_float(hdr.dc_r), ctypes.c_int(hdr.resid_levels),
         ctypes.c_int(hdr.resid_nplanes),
+        ctypes.c_int(rmp), ctypes.c_uint32(hdr.resid_keep_mask),
         frame.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     if rc != 0:
         raise RuntimeError(f"cpu decode failed: {rc}")

@@ -85,6 +85,7 @@ def compress(data, config: EBCCConfig | None = None, *, error_bound=None,
             ctypes.c_float(error), ctypes.c_float(config.base_cr),
             ctypes.c_float(residual_cr), ctypes.c_float(qbase),
             ctypes.c_int(disable_pure),
+            ctypes.c_int(1 if config.use_chunk_mask else 0),
             ctypes.c_int(config.base_levels),
             ctypes.c_int(config.residual_levels),
             ctypes.c_int(config.nchunks), ctypes.c_int(config.base_nplanes),

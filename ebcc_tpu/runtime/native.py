@@ -207,11 +207,29 @@ def coder_encode_batch(coef: np.ndarray, trunc_bits: np.ndarray,
     return out
 
 
+def _mask_ptrs(mask_plane, keep_mask, n):
+    """ctypes (mask_plane*, keep_mask*) pair; NULLs when masking is off.
+    Returns (ptr_mp, ptr_km, keepalive) — hold keepalive until the call."""
+    if mask_plane is None:
+        null32 = ctypes.POINTER(ctypes.c_int32)()
+        nullu32 = ctypes.POINTER(ctypes.c_uint32)()
+        return null32, nullu32, ()
+    mp = np.ascontiguousarray(mask_plane, np.int32)
+    km = np.ascontiguousarray(
+        keep_mask if keep_mask is not None else np.zeros(n), np.uint32)
+    return (mp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            km.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), (mp, km))
+
+
 def coder_decode_batch(streams: list[bytes], nbits: np.ndarray,
                        max_step: np.ndarray, h: int, w: int,
-                       group_levels: int, nplanes: int, nchunks: int
-                       ) -> np.ndarray:
-    """Native structural decode -> float32 midpoint coefficients [n, h, w]."""
+                       group_levels: int, nplanes: int, nchunks: int,
+                       mask_plane: np.ndarray | None = None,
+                       keep_mask: np.ndarray | None = None) -> np.ndarray:
+    """Native structural decode -> float32 midpoint coefficients [n, h, w].
+
+    ``mask_plane``/``keep_mask`` (format v4): per-frame chunk masks of the
+    final coded plane; ``mask_plane[i] < 0`` disables for frame i."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native runtime unavailable")
@@ -224,12 +242,14 @@ def coder_decode_batch(streams: list[bytes], nbits: np.ndarray,
     # clamp declared bits to the bytes actually present
     nbits = np.minimum(nbits, sizes * 8)
     max_step = np.ascontiguousarray(max_step, np.int32)
+    mp_ptr, km_ptr, _keep = _mask_ptrs(mask_plane, keep_mask, n)
     out = np.empty((n, h, w), np.float32)
     lib.ebcc_coder_decode_batch(
         ctypes.cast(ctypes.c_char_p(blob), ctypes.POINTER(ctypes.c_uint8)),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         nbits.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         max_step.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mp_ptr, km_ptr,
         ctypes.c_int(n), ctypes.c_int(h), ctypes.c_int(w),
         ctypes.c_int(group_levels), ctypes.c_int(nplanes),
         ctypes.c_int(nchunks),
@@ -271,7 +291,9 @@ def coder_encode_batch_sparse(deltas: np.ndarray, vals: np.ndarray,
 
 def coder_decode_batch_u16(streams: list[bytes], nbits: np.ndarray,
                            max_step: np.ndarray, h: int, w: int,
-                           group_levels: int, nplanes: int, nchunks: int):
+                           group_levels: int, nplanes: int, nchunks: int,
+                           mask_plane: np.ndarray | None = None,
+                           keep_mask: np.ndarray | None = None):
     """Native structural decode -> packed u16 state (sign<<15 | last_off<<14
     | mag>>b_end) + per-frame b_end.  Returns (packed, bend, ok); frames
     with ok == 0 need the float32 path."""
@@ -285,6 +307,7 @@ def coder_decode_batch_u16(streams: list[bytes], nbits: np.ndarray,
     np.cumsum(sizes[:-1], out=offsets[1:])
     nbits = np.minimum(np.ascontiguousarray(nbits, np.int64), sizes * 8)
     max_step = np.ascontiguousarray(max_step, np.int32)
+    mp_ptr, km_ptr, _keep = _mask_ptrs(mask_plane, keep_mask, n)
     out = np.empty((n, h, w), np.uint16)
     bend = np.zeros(n, np.int32)
     ok = np.zeros(n, np.int32)
@@ -293,6 +316,7 @@ def coder_decode_batch_u16(streams: list[bytes], nbits: np.ndarray,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         nbits.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         max_step.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mp_ptr, km_ptr,
         ctypes.c_int(n), ctypes.c_int(h), ctypes.c_int(w),
         ctypes.c_int(group_levels), ctypes.c_int(nplanes),
         ctypes.c_int(nchunks),

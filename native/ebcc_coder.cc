@@ -30,8 +30,8 @@ struct Spec {
 };
 bool cpu_has_bmi2();
 void encode_one_fast(const int32_t*, const Spec&, int64_t, uint8_t*);
-int decode_core_fast(const uint8_t*, int64_t, int, const Spec&, uint32_t*,
-                     uint8_t*, int16_t*, uint8_t*);
+int decode_core_fast(const uint8_t*, int64_t, int, const Spec&, int,
+                     uint32_t, uint32_t*, uint8_t*, int16_t*, uint8_t*);
 }  // namespace ebcc_fast
 
 namespace {
@@ -184,8 +184,14 @@ void encode_one_scalar(const int32_t* coef, const Spec& s,
 // path).  Returns b_end: the lowest bitplane entered.  For every
 // significant coefficient, last is b_end or b_end + 1 (refinement updates
 // last at every entered plane until the stream runs out mid-plane).
+//
+// Chunk masking (format v4): at plane ``mask_plane``, level-0 chunk j is
+// present in the stream only when bit j of ``keep_mask`` is set — absent
+// chunks consume no bits and decode as past-the-end zeros (mirrors
+// ops/bitplane.py decode_frame).  mask_plane < 0 disables.
 int decode_core_scalar(const uint8_t* bytes, int64_t nbits, int max_step,
-                       const Spec& s, uint32_t* mag, uint8_t* neg,
+                       const Spec& s, int mask_plane, uint32_t keep_mask,
+                       uint32_t* mag, uint8_t* neg,
                        int16_t* last, uint8_t* sig0) {
   const int h = s.h, w = s.w, g = s.g, J = s.nchunks;
   const size_t n = (size_t)h * w;
@@ -246,6 +252,7 @@ int decode_core_scalar(const uint8_t* bytes, int64_t nbits, int max_step,
     const uint8_t* s1 = sig[1].data();
     int w1 = w >> 1;
     for (int j = 0; j < J; ++j) {
+      if (b == mask_plane && !((keep_mask >> j) & 1u)) continue;
       int r0 = (j * h + J - 1) / J, r1 = ((j + 1) * h + J - 1) / J;
       for (int r = r0; r < r1; ++r) {
         if (!rowany[1][r >> 1]) continue;
@@ -272,6 +279,7 @@ int decode_core_scalar(const uint8_t* bytes, int64_t nbits, int max_step,
       }
     }
     for (int j = 0; j < J; ++j) {
+      if (b == mask_plane && !((keep_mask >> j) & 1u)) continue;
       int r0 = (j * h + J - 1) / J, r1 = ((j + 1) * h + J - 1) / J;
       for (int r = r0; r < r1; ++r) {
         if (!rowany[0][r]) continue;
@@ -303,23 +311,26 @@ void encode_one(const int32_t* coef, const Spec& s, int64_t trunc_bits,
 }
 
 int decode_core(const uint8_t* bytes, int64_t nbits, int max_step,
-                const Spec& s, uint32_t* mag, uint8_t* neg, int16_t* last,
-                uint8_t* sig0) {
+                const Spec& s, int mask_plane, uint32_t keep_mask,
+                uint32_t* mag, uint8_t* neg, int16_t* last, uint8_t* sig0) {
   if (use_fast())
     return ebcc_fast::decode_core_fast(bytes, nbits, max_step, to_fast(s),
-                                       mag, neg, last, sig0);
-  return decode_core_scalar(bytes, nbits, max_step, s, mag, neg, last, sig0);
+                                       mask_plane, keep_mask, mag, neg, last,
+                                       sig0);
+  return decode_core_scalar(bytes, nbits, max_step, s, mask_plane, keep_mask,
+                            mag, neg, last, sig0);
 }
 
 // f32 packer: midpoint-reconstructed coefficients.
 void decode_one(const uint8_t* bytes, int64_t nbits, int max_step,
-                const Spec& s, float* out) {
+                const Spec& s, int mask_plane, uint32_t keep_mask,
+                float* out) {
   const size_t n = (size_t)s.h * s.w;
   std::vector<uint32_t> mag(n);
   std::vector<uint8_t> neg(n), sig0(n);
   std::vector<int16_t> last(n);
-  decode_core(bytes, nbits, max_step, s, mag.data(), neg.data(), last.data(),
-              sig0.data());
+  decode_core(bytes, nbits, max_step, s, mask_plane, keep_mask, mag.data(),
+              neg.data(), last.data(), sig0.data());
   for (size_t i = 0; i < n; ++i) {
     if (!sig0[i]) {
       out[i] = 0.0f;
@@ -336,13 +347,14 @@ void decode_one(const uint8_t* bytes, int64_t nbits, int max_step,
 // bits 0-13.  Valid iff max_step - b_end <= 13 (ok flag); the device
 // reconstructs mag = m14 << b_end and half from last = b_end + bit14.
 int decode_one_u16(const uint8_t* bytes, int64_t nbits, int max_step,
-                   const Spec& s, uint16_t* out, int32_t* out_bend) {
+                   const Spec& s, int mask_plane, uint32_t keep_mask,
+                   uint16_t* out, int32_t* out_bend) {
   const size_t n = (size_t)s.h * s.w;
   std::vector<uint32_t> mag(n);
   std::vector<uint8_t> neg(n), sig0(n);
   std::vector<int16_t> last(n);
-  int b_end = decode_core(bytes, nbits, max_step, s, mag.data(), neg.data(),
-                          last.data(), sig0.data());
+  int b_end = decode_core(bytes, nbits, max_step, s, mask_plane, keep_mask,
+                          mag.data(), neg.data(), last.data(), sig0.data());
   if (b_end >= s.nplanes) b_end = 0;  // empty stream: all zero
   *out_bend = b_end;
   if (max_step - b_end > 13) return 0;  // would overflow 14 bits
@@ -481,14 +493,19 @@ void ebcc_coder_encode_batch_sparse(const uint16_t* deltas,
 
 // bytes: concatenated streams; offsets/sizes in bytes; nbits: stored stream
 // lengths in bits; max_step: per-frame top plane.  out: float32 [n, h*w].
+// mask_plane/keep_mask (format v4 chunk masking) may be NULL (no masking);
+// mask_plane[i] < 0 disables masking for frame i.
 void ebcc_coder_decode_batch(const uint8_t* bytes, const int64_t* offsets,
                              const int64_t* nbits, const int32_t* max_step,
+                             const int32_t* mask_plane,
+                             const uint32_t* keep_mask,
                              int n, int h, int w, int g, int nplanes,
                              int nchunks, float* out) {
   Spec s{h, w, g, nplanes, nchunks};
   int hw = (int)std::thread::hardware_concurrency();
   run_threads(n, hw, [&](int i) {
     decode_one(bytes + offsets[i], nbits[i], max_step[i], s,
+               mask_plane ? mask_plane[i] : -1, keep_mask ? keep_mask[i] : 0,
                out + (size_t)i * h * w);
   });
 }
@@ -497,7 +514,10 @@ void ebcc_coder_decode_batch(const uint8_t* bytes, const int64_t* offsets,
 // frames whose magnitudes would not fit 14 bits (caller falls back to f32).
 void ebcc_coder_decode_batch_u16(const uint8_t* bytes, const int64_t* offsets,
                                  const int64_t* nbits,
-                                 const int32_t* max_step, int n, int h, int w,
+                                 const int32_t* max_step,
+                                 const int32_t* mask_plane,
+                                 const uint32_t* keep_mask,
+                                 int n, int h, int w,
                                  int g, int nplanes, int nchunks,
                                  uint16_t* out, int32_t* out_bend,
                                  int32_t* out_ok) {
@@ -505,6 +525,8 @@ void ebcc_coder_decode_batch_u16(const uint8_t* bytes, const int64_t* offsets,
   int hw = (int)std::thread::hardware_concurrency();
   run_threads(n, hw, [&](int i) {
     out_ok[i] = decode_one_u16(bytes + offsets[i], nbits[i], max_step[i], s,
+                               mask_plane ? mask_plane[i] : -1,
+                               keep_mask ? keep_mask[i] : 0,
                                out + (size_t)i * h * w, out_bend + i);
   });
 }

@@ -308,9 +308,13 @@ void encode_one_fast(const int32_t* coef, const Spec& s, int64_t trunc_bits,
 
 // ---------------- decoder ----------------
 
-// structural decode into (mag, neg, last) + sig0 mask; returns b_end
+// structural decode into (mag, neg, last) + sig0 mask; returns b_end.
+// Chunk masking (format v4): at plane mask_plane, level-0 chunk j is
+// absent from the stream unless bit j of keep_mask is set; mask_plane < 0
+// disables (see ebcc_coder.cc decode_core_scalar).
 int decode_core_fast(const uint8_t* bytes, int64_t nbits, int max_step,
-                     const Spec& s, uint32_t* mag, uint8_t* neg,
+                     const Spec& s, int mask_plane, uint32_t keep_mask,
+                     uint32_t* mag, uint8_t* neg,
                      int16_t* last, uint8_t* sig0_out) {
   const int h = s.h, w = s.w, g = s.g, J = s.nchunks;
   const size_t n = (size_t)h * w;
@@ -379,6 +383,7 @@ int decode_core_fast(const uint8_t* bytes, int64_t nbits, int max_step,
     DLevel& L1 = lv[1];
     std::fill(newm.begin(), newm.end(), 0);
     for (int j = 0; j < J; ++j) {
+      if (b == mask_plane && !((keep_mask >> j) & 1u)) continue;
       int r0, r1;
       chunk_rows(j, L0.hk, J, &r0, &r1);
       for (int r = r0; r < r1; ++r) {
@@ -428,6 +433,7 @@ int decode_core_fast(const uint8_t* bytes, int64_t nbits, int max_step,
     }
     // refinement, per chunk
     for (int j = 0; j < J; ++j) {
+      if (b == mask_plane && !((keep_mask >> j) & 1u)) continue;
       int r0, r1;
       chunk_rows(j, L0.hk, J, &r0, &r1);
       for (int r = r0; r < r1; ++r) {

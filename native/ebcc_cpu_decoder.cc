@@ -217,9 +217,11 @@ struct SpecFwd {
 extern "C" void ebcc_coder_decode_batch(const uint8_t* bytes,
                                         const int64_t* offsets,
                                         const int64_t* nbits,
-                                        const int32_t* max_step, int n, int h,
-                                        int w, int g, int nplanes, int nchunks,
-                                        float* out);
+                                        const int32_t* max_step,
+                                        const int32_t* mask_plane,
+                                        const uint32_t* keep_mask, int n,
+                                        int h, int w, int g, int nplanes,
+                                        int nchunks, float* out);
 
 namespace {
 
@@ -227,11 +229,14 @@ namespace {
 // + dc -> clamp -> (caller crops/unscales)
 void decode_layer(const uint8_t* stream, int64_t nbits, int max_step,
                   int hp, int wp, int levels, int nplanes, int nchunks,
+                  int mask_plane, uint32_t keep_mask,
                   float dc, float clamp_hi, float* plane) {
   int64_t off = 0;
   int32_t ms = max_step;
-  ebcc_coder_decode_batch(stream, &off, &nbits, &ms, 1, hp, wp, levels + 1,
-                          nplanes, nchunks, plane);
+  int32_t mp = mask_plane;
+  uint32_t km = keep_mask;
+  ebcc_coder_decode_batch(stream, &off, &nbits, &ms, &mp, &km, 1, hp, wp,
+                          levels + 1, nplanes, nchunks, plane);
   const auto& peaks = synthesis_peaks(levels);
   for (int r = 0; r < hp; ++r)
     for (int c = 0; c < wp; ++c)
@@ -266,18 +271,23 @@ void ebcc_cpu_weight_plane(int hp, int wp, int levels, float* out) {
 
 // Decode one frame to float32 [h, w] with no JAX involvement.
 // base/resid streams are the raw (already un-zstd'd) bitstreams.
-// has_resid: 0/1.  Returns 0 on success.
+// has_resid: 0/1.  base/resid_mask_plane < 0 (or 0xFF from the container)
+// disables the format-v4 chunk masking of the layer's final plane.
+// Returns 0 on success.
 int ebcc_cpu_decode_frame(
     const uint8_t* base_stream, int64_t base_nbits, int max_step_b,
     float mn, float mx, float dc_b,
     int h, int w, int base_levels, int base_nplanes, int nchunks,
+    int base_mask_plane, uint32_t base_keep_mask,
     int has_resid, const uint8_t* resid_stream, int64_t resid_nbits,
     int max_step_r, float rmin, float rmax, float dc_r, int resid_levels,
-    int resid_nplanes, float* out) {
+    int resid_nplanes, int resid_mask_plane, uint32_t resid_keep_mask,
+    float* out) {
   int hb = padded(h, base_levels), wb = padded(w, base_levels);
   std::vector<float> base((size_t)hb * wb);
   decode_layer(base_stream, base_nbits, max_step_b, hb, wb, base_levels,
-               base_nplanes, nchunks, dc_b, U16_MAX, base.data());
+               base_nplanes, nchunks, base_mask_plane, base_keep_mask,
+               dc_b, U16_MAX, base.data());
   // y / 65535 * rng + mn, reassociated + fused the way XLA compiles it:
   // fma(y, recip * rng, mn)
   float c0 = RECIP_U16 * (mx - mn);
@@ -290,8 +300,8 @@ int ebcc_cpu_decode_frame(
     int hr = padded(h, resid_levels), wr = padded(w, resid_levels);
     std::vector<float> resid((size_t)hr * wr);
     decode_layer(resid_stream, resid_nbits, max_step_r, hr, wr,
-                 resid_levels, resid_nplanes, nchunks, dc_r, RESID_SCALE,
-                 resid.data());
+                 resid_levels, resid_nplanes, nchunks, resid_mask_plane,
+                 resid_keep_mask, dc_r, RESID_SCALE, resid.data());
     float c1 = RECIP_RS * (rmax - rmin);
     for (int r = 0; r < h; ++r)
       for (int c = 0; c < w; ++c)

@@ -403,6 +403,47 @@ struct LayerEnc {
            ref_cum[(size_t)b * J + (k - J)];
   }
 
+  // stream length with plane b's chunks masked to the ``keep`` bitmask
+  // (format v4; ops/bitplane.py mask_segments semantics)
+  int64_t masked_bits(int b, uint32_t keep) const {
+    int64_t v = before[b] + group_bits[b];
+    int64_t prev = 0;
+    for (int jj = 0; jj < J; ++jj) {
+      int64_t cur = sigpair_cum[(size_t)b * J + jj];
+      if ((keep >> jj) & 1u) v += cur - prev;
+      prev = cur;
+    }
+    prev = 0;
+    for (int jj = 0; jj < J; ++jj) {
+      int64_t cur = ref_cum[(size_t)b * J + jj];
+      if ((keep >> jj) & 1u) v += cur - prev;
+      prev = cur;
+    }
+    return v;
+  }
+
+  int64_t plane_end(int b) const { return candidate(b, 2 * J - 1); }
+
+  // closed-form reconstruction with per-stripe drops at plane b
+  // (ops/bitplane.py recon_masked): dropped stripes stay at plane b + 1
+  // precision, kept stripes complete plane b
+  void recon_coef_masked(int b, uint32_t drop, float* out) const {
+    for (int r = 0; r < h; ++r) {
+      int d = b + (int)((drop >> stripe(r)) & 1u);
+      float half = d > 0 ? (float)((1u << d) - 1) * 0.5f : 0.0f;
+      for (int c = 0; c < w; ++c) {
+        size_t i = (size_t)r * w + c;
+        uint32_t q = (mag[i] >> d) << d;
+        if (!q) {
+          out[i] = 0.0f;
+          continue;
+        }
+        float v = (float)q + half;
+        out[i] = neg[i] ? -v : v;
+      }
+    }
+  }
+
   // closed-form coefficient reconstruction at a truncation point
   // (ops/bitplane.py recon_truncated); fine == false means plane b complete
   void recon_coef(int b, int js, int jr, bool fine, float* out) const {
@@ -448,13 +489,20 @@ void layer_recon(const LayerEnc& L, const float* coef, float dc,
 
 // base reconstruction in the DATA domain at a chosen fine truncation
 // (pipeline.py _recon_at + _base_recon; unscale is the reassociated
-// fma(y, recip * rng, mn) exactly as XLA compiles it)
+// fma(y, recip * rng, mn) exactly as XLA compiles it).  When ``masked``
+// the chosen truncation is the chunk-masked plane bstar with stripes in
+// ``drop`` dropped (recon_coef_masked) — the decoder's v4 view.
 void base_rec_at(const LayerEnc& base, int bstar, int kstar, float dc,
                  float mn, float unscale_c, int h, int w, float* coef_buf,
-                 float* rec_buf, float* out) {
-  int js = kstar < base.J ? kstar + 1 : base.J;
-  int jr = kstar < base.J ? 0 : kstar - base.J + 1;
-  base.recon_coef(bstar, js, jr, true, coef_buf);
+                 float* rec_buf, float* out, bool masked = false,
+                 uint32_t drop = 0) {
+  if (masked) {
+    base.recon_coef_masked(bstar, drop, coef_buf);
+  } else {
+    int js = kstar < base.J ? kstar + 1 : base.J;
+    int jr = kstar < base.J ? 0 : kstar - base.J + 1;
+    base.recon_coef(bstar, js, jr, true, coef_buf);
+  }
   layer_recon(base, coef_buf, dc, U16_MAX, rec_buf);
   for (int r = 0; r < h; ++r)
     for (int c = 0; c < w; ++c)
@@ -572,6 +620,106 @@ void search_truncation(const LayerEnc& L, float qallow, EvalFn&& eval,
     *out_pure = (qallow <= 0.0f) ? *out_q : select(0.0f);
 }
 
+// ---- chunk-mask search (format v4) ----
+//
+// Mirrors pipeline.py _search_mask exactly: after the prefix search picks
+// plane bstar, greedily try dropping each final-plane chunk (ascending j);
+// a drop is accepted iff the reconstruction with all so-far-accepted drops
+// still satisfies the feasibility rule.  The mask wins only when at least
+// one chunk dropped AND the masked stream is strictly shorter than the
+// prefix.  evalm(b, drop_mask, qa) -> ErrStats of the masked recon.
+
+struct MaskResult {
+  bool use = false;
+  uint32_t keep = 0;   // keep bitmask (valid when use)
+  int64_t mbits = 0;   // final stream bits (masked, or the prefix length)
+  float maxd = 0.0f;   // max excess at the final choice
+  int bstar = 0;       // the selection's (= masked) plane
+};
+
+template <typename EvalM>
+MaskResult search_mask(const LayerEnc& L, float qa, const SearchResult& sel,
+                       int use_chunk_mask, EvalM&& evalm) {
+  MaskResult m;
+  m.mbits = sel.bits;
+  m.maxd = sel.maxd;
+  m.bstar = sel.bstar;
+  if (!use_chunk_mask || L.J > 16 || !sel.feasible) return m;
+  auto ok_rule = [&](const ErrStats& e) {
+    return qa > 0.0f ? e.viol <= (double)qa : e.maxd <= 0.0f;
+  };
+  std::vector<std::pair<uint32_t, ErrStats>> memo;
+  auto eval_m = [&](uint32_t dr) {
+    for (auto& kv : memo)
+      if (kv.first == dr) return kv.second;
+    ErrStats e = evalm(sel.bstar, dr, qa);
+    memo.emplace_back(dr, e);
+    return e;
+  };
+  uint32_t drop = 0;
+  for (int jj = 0; jj < L.J; ++jj) {
+    uint32_t cand = drop | (1u << jj);
+    if (ok_rule(eval_m(cand))) drop = cand;
+  }
+  uint32_t keep = ((1u << L.J) - 1) & ~drop;
+  int64_t mb = L.masked_bits(sel.bstar, keep);
+  if (drop != 0 && mb < sel.bits) {
+    m.use = true;
+    m.keep = keep;
+    m.mbits = mb;
+    m.maxd = eval_m(drop).maxd;  // accepted set: full (non-early-exit) scan
+  }
+  return m;
+}
+
+// ---- host bit splice (bp.splice_masked_stream layout) ----
+
+// copy n bits from src starting at bit s_pos into dst at bit d_pos
+// (MSB-first in both); dst must be zeroed
+void copy_bits(const uint8_t* src, int64_t s_pos, uint8_t* dst,
+               int64_t d_pos, int64_t n) {
+  for (int64_t k = 0; k < n; ++k) {
+    int64_t sb = s_pos + k;
+    if ((src[sb >> 3] >> (7 - (sb & 7))) & 1) {
+      int64_t db = d_pos + k;
+      dst[db >> 3] |= (uint8_t)(0x80u >> (db & 7));
+    }
+  }
+}
+
+// splice the chunk-masked stream of plane b out of the prefix arena:
+// [planes above + groups] ++ kept sig+sign chunks ++ kept refine chunks
+std::vector<uint8_t> splice_masked(const uint8_t* arena, const LayerEnc& L,
+                                   int b, uint32_t keep) {
+  int64_t out_bits = L.masked_bits(b, keep);
+  std::vector<uint8_t> out(((size_t)out_bits + 7) / 8, 0);
+  int64_t head = L.before[b] + L.group_bits[b];
+  copy_bits(arena, 0, out.data(), 0, head);
+  int64_t dpos = head;
+  int64_t spos = head;
+  int64_t prev = 0;
+  for (int jj = 0; jj < L.J; ++jj) {
+    int64_t cur = L.sigpair_cum[(size_t)b * L.J + jj];
+    if ((keep >> jj) & 1u) {
+      copy_bits(arena, spos, out.data(), dpos, cur - prev);
+      dpos += cur - prev;
+    }
+    spos += cur - prev;
+    prev = cur;
+  }
+  prev = 0;
+  for (int jj = 0; jj < L.J; ++jj) {
+    int64_t cur = L.ref_cum[(size_t)b * L.J + jj];
+    if ((keep >> jj) & 1u) {
+      copy_bits(arena, spos, out.data(), dpos, cur - prev);
+      dpos += cur - prev;
+    }
+    spos += cur - prev;
+    prev = cur;
+  }
+  return out;
+}
+
 // ---- container serialization (codec/container.py v3 layout) ----
 
 struct Blob {
@@ -593,11 +741,14 @@ struct Geom {
   uint8_t base_levels, resid_levels, nchunks, base_nplanes, resid_nplanes;
 };
 
+constexpr uint8_t MASK_NONE = 0xFF;  // mask_plane sentinel (container.py)
+
 void pack_header(Blob& o, unsigned flags, uint16_t mode, uint32_t h,
                  uint32_t w, float mn, float mx, float dc_b,
-                 uint32_t base_nbits, uint8_t max_step_b, const Geom& g) {
+                 uint32_t base_nbits, uint8_t max_step_b, const Geom& g,
+                 uint8_t base_mask_plane, uint16_t base_keep_mask) {
   o.raw("EBT1", 4);
-  o.le<uint8_t>(3);  // version (3 = quantised weight tables)
+  o.le<uint8_t>(4);  // version (4 = chunk-masked last-plane truncation)
   o.le<uint8_t>((uint8_t)flags);
   o.le<uint16_t>(mode);
   o.le<uint32_t>(h);
@@ -612,6 +763,8 @@ void pack_header(Blob& o, unsigned flags, uint16_t mode, uint32_t h,
   o.le<uint8_t>(g.nchunks);
   o.le<uint8_t>(g.base_nplanes);
   o.le<uint8_t>(g.resid_nplanes);
+  o.le<uint8_t>(base_mask_plane);
+  o.le<uint16_t>(base_keep_mask);
 }
 
 std::vector<uint8_t> zstd_pack(const uint8_t* p, size_t n, int level) {
@@ -627,26 +780,30 @@ struct ResidPart {
   float rmin = 0, rmax = 0, dc_r = 0;
   uint8_t max_step_r = 0;
   uint32_t nbits = 0;
+  uint8_t mask_plane = MASK_NONE;  // format v4 chunk mask of the last plane
+  uint16_t keep_mask = 0;
   std::vector<uint8_t> zblob;
 };
 
 std::vector<uint8_t> pack_variant(uint16_t mode, int h, int w, float mn,
                                   float mx, float dc_b, uint8_t max_step_b,
                                   const Geom& geom, int64_t bits,
-                                  const uint8_t* base_arena,
+                                  const uint8_t* base_stream,
+                                  uint8_t base_mask_plane,
+                                  uint16_t base_keep_mask,
                                   const ResidPart* rp, bool pointwise,
                                   int zstd_level) {
   size_t nbytes = (size_t)((bits + 7) / 8);
   // final entropy stage on the base stream (api.py pack_variant)
   std::vector<uint8_t> z =
-      zstd_pack(base_arena, nbytes, std::min(zstd_level, 10));
+      zstd_pack(base_stream, nbytes, std::min(zstd_level, 10));
   bool base_z = !z.empty() && z.size() < nbytes;
   unsigned flags = (pointwise ? FLAG_POINTWISE : 0) |
                    (base_z ? FLAG_BASE_Z : 0);
   if (rp && rp->present) flags |= FLAG_RESID;
   Blob o;
   pack_header(o, flags, mode, h, w, mn, mx, dc_b, (uint32_t)bits, max_step_b,
-              geom);
+              geom, base_mask_plane, base_keep_mask);
   if (rp && rp->present) {
     o.le<float>(rp->rmin);
     o.le<float>(rp->rmax);
@@ -654,12 +811,14 @@ std::vector<uint8_t> pack_variant(uint16_t mode, int h, int w, float mn,
     o.le<uint8_t>(rp->max_step_r);
     o.le<uint32_t>(rp->nbits);
     o.le<uint64_t>(rp->zblob.size());
+    o.le<uint8_t>(rp->mask_plane);
+    o.le<uint16_t>(rp->keep_mask);
     o.raw(rp->zblob.data(), rp->zblob.size());
   }
   if (base_z)
     o.raw(z.data(), z.size());
   else
-    o.raw(base_arena, nbytes);
+    o.raw(base_stream, nbytes);
   return std::move(o.b);
 }
 
@@ -732,7 +891,7 @@ void ebcc_cpu_debug_base_rec(const float* data, int h, int w, int levels,
 int64_t ebcc_cpu_encode_frame(
     const float* data, const float* target_pw, int h, int w,
     int mode, float error, float base_cr, float residual_cr,
-    float qbase, int disable_pure_fallback,
+    float qbase, int disable_pure_fallback, int use_chunk_mask,
     int base_levels, int resid_levels, int nchunks,
     int base_nplanes, int resid_nplanes, int zstd_level,
     uint8_t* out, int64_t out_cap) {
@@ -764,7 +923,7 @@ int64_t ebcc_cpu_encode_frame(
   if (mn == mx) {  // constant field shortcut (j2k_codec.h:515,731-735)
     Blob o;
     pack_header(o, FLAG_CONST | (pointwise ? FLAG_POINTWISE : 0), mode16, h,
-                w, mn, mx, 0.0f, 0, 0, geom);
+                w, mn, mx, 0.0f, 0, 0, geom, MASK_NONE, 0);
     o.le<uint64_t>((uint64_t)n);  // tot_size
     if ((int64_t)o.b.size() > out_cap) return -2;
     memcpy(out, o.b.data(), o.b.size());
@@ -809,10 +968,7 @@ int64_t ebcc_cpu_encode_frame(
 
   // y / 65535 * rng + mn, reassociated + fused the way XLA compiles it
   const float unscale_c = RECIP_U16 * rng;
-  auto base_eval = [&](int b, int js, int jr, bool fine,
-                       float qa) -> ErrStats {
-    base.recon_coef(b, js, jr, fine, coef_buf.data());
-    layer_recon(base, coef_buf.data(), dc_b, U16_MAX, rec_buf.data());
+  auto base_scan = [&](float qa) -> ErrStats {
     float maxd = -std::numeric_limits<float>::infinity();
     size_t nv = 0;
     const size_t T = exit_thresh(qa);
@@ -828,8 +984,20 @@ int64_t ebcc_cpu_encode_frame(
     }
     return {maxd, (double)nv / (double)n};
   };
+  auto base_eval = [&](int b, int js, int jr, bool fine,
+                       float qa) -> ErrStats {
+    base.recon_coef(b, js, jr, fine, coef_buf.data());
+    layer_recon(base, coef_buf.data(), dc_b, U16_MAX, rec_buf.data());
+    return base_scan(qa);
+  };
+  auto base_evalm = [&](int b, uint32_t drop, float qa) -> ErrStats {
+    base.recon_coef_masked(b, drop, coef_buf.data());
+    layer_recon(base, coef_buf.data(), dc_b, U16_MAX, rec_buf.data());
+    return base_scan(qa);
+  };
 
   SearchResult q, pure;
+  MaskResult mq, mpure, mr;
   int64_t bits_b = 0, bits_pure_b = 0, bits_r = 0;
   bool skip_residual = false, resid_feasible = false, feasible_pure = false;
   bool error_bounded = mode == MODE_MAX_ERR || mode == MODE_REL_ERR ||
@@ -844,11 +1012,15 @@ int64_t ebcc_cpu_encode_frame(
     bits_b = q.bits;
     bits_pure_b = pure.bits;
     feasible_pure = pure.feasible;
-    skip_residual = q.maxd <= 0.0f;  // "Skip Residual" (j2k_codec.h:584)
+    mq = search_mask(base, qbase, q, use_chunk_mask, base_evalm);
+    mpure = search_mask(base, 0.0f, pure, use_chunk_mask, base_evalm);
+    // "Skip Residual" (j2k_codec.h:584) against the decoder's v4 view
+    skip_residual = mq.maxd <= 0.0f;
 
     base_rec.resize(n);
     base_rec_at(base, q.bstar, q.kstar, dc_b, mn, unscale_c, h, w,
-                coef_buf.data(), rec_buf.data(), base_rec.data());
+                coef_buf.data(), rec_buf.data(), base_rec.data(),
+                mq.use, mq.use ? (((1u << base.J) - 1) & ~mq.keep) : 0);
     rset = make_resid_layer(resid, data, base_rec.data(), h, w,
                             resid_levels, resid_nplanes, nchunks);
     if (resid.max_step > resid.P - 1) return -3;
@@ -856,10 +1028,7 @@ int64_t ebcc_cpu_encode_frame(
     std::vector<float> rcoef((size_t)resid.h * resid.w);
     std::vector<float> rrec((size_t)resid.h * resid.w);
     float rc0 = RECIP_RS * (rset.rmx - rset.rmn);
-    auto resid_eval = [&](int b, int js2, int jr2, bool fine,
-                          float qa) -> ErrStats {
-      resid.recon_coef(b, js2, jr2, fine, rcoef.data());
-      layer_recon(resid, rcoef.data(), rset.dc_r, RESID_SCALE, rrec.data());
+    auto resid_scan = [&](float qa) -> ErrStats {
       float maxd = -std::numeric_limits<float>::infinity();
       size_t nv = 0;
       const size_t T = exit_thresh(qa);
@@ -876,10 +1045,22 @@ int64_t ebcc_cpu_encode_frame(
       }
       return {maxd, (double)nv / (double)n};
     };
+    auto resid_eval = [&](int b, int js2, int jr2, bool fine,
+                          float qa) -> ErrStats {
+      resid.recon_coef(b, js2, jr2, fine, rcoef.data());
+      layer_recon(resid, rcoef.data(), rset.dc_r, RESID_SCALE, rrec.data());
+      return resid_scan(qa);
+    };
+    auto resid_evalm = [&](int b, uint32_t drop, float qa) -> ErrStats {
+      resid.recon_coef_masked(b, drop, rcoef.data());
+      layer_recon(resid, rcoef.data(), rset.dc_r, RESID_SCALE, rrec.data());
+      return resid_scan(qa);
+    };
     SearchResult rq;
     search_truncation(resid, 0.0f, resid_eval, &rq, nullptr);
     bits_r = rq.bits;
     resid_feasible = rq.feasible;
+    mr = search_mask(resid, 0.0f, rq, use_chunk_mask, resid_evalm);
   } else {
     // NONE / SPARSIFICATION_FACTOR: rate-targeted truncation
     // (pipeline.py _encode_rate_targeted)
@@ -904,6 +1085,7 @@ int64_t ebcc_cpu_encode_frame(
     };
     pick(base, (int64_t)(32.0 * h * w / base_cr), &q);
     bits_b = bits_pure_b = q.bits;
+    mq.mbits = mpure.mbits = q.bits;  // rate modes: no masking
     bool use_resid = mode == MODE_SPARS;
     skip_residual = !use_resid;
     resid_feasible = use_resid;
@@ -917,16 +1099,36 @@ int64_t ebcc_cpu_encode_frame(
       SearchResult rq;
       pick(resid, (int64_t)(8.0 * h * w / residual_cr), &rq);
       bits_r = rq.bits;
+      mr.mbits = bits_r;
     }
   }
 
   // ---- streams + container (api.py _pack_streams / _assemble_frame) ----
+  // arena coverage: a masked selection splices kept refine chunks from
+  // its plane's tail, so the arena must reach that plane's end
+  int64_t arena_q = mq.use ? base.plane_end(q.bstar) : bits_b;
+  int64_t arena_p = mpure.use ? base.plane_end(pure.bstar) : bits_pure_b;
   std::vector<uint8_t> base_arena =
-      encode_stream(base, std::max(bits_b, bits_pure_b));
+      encode_stream(base, std::max(arena_q, arena_p));
+  std::vector<uint8_t> base_q_spliced, base_pure_spliced;
+  const uint8_t* base_q_ptr = base_arena.data();
+  const uint8_t* base_pure_ptr = base_arena.data();
+  if (mq.use) {
+    base_q_spliced = splice_masked(base_arena.data(), base, q.bstar, mq.keep);
+    base_q_ptr = base_q_spliced.data();
+  }
+  if (mpure.use) {
+    base_pure_spliced =
+        splice_masked(base_arena.data(), base, pure.bstar, mpure.keep);
+    base_pure_ptr = base_pure_spliced.data();
+  }
   ResidPart rp;
-  if (!skip_residual && bits_r > 0 && !resid.ci.empty()) {
-    std::vector<uint8_t> rraw = encode_stream(resid, bits_r);
-    size_t rbytes = (size_t)((bits_r + 7) / 8);
+  if (!skip_residual && mr.mbits > 0 && !resid.ci.empty()) {
+    int64_t arena_r = mr.use ? resid.plane_end(mr.bstar) : bits_r;
+    std::vector<uint8_t> rraw = encode_stream(resid, arena_r);
+    if (mr.use)
+      rraw = splice_masked(rraw.data(), resid, mr.bstar, mr.keep);
+    size_t rbytes = (size_t)((mr.mbits + 7) / 8);
     if (rbytes > MIN_RESID_BYTES) {
       rp.zblob = zstd_pack(rraw.data(), rbytes, zstd_level);
       if (!rp.zblob.empty()) {
@@ -935,24 +1137,31 @@ int64_t ebcc_cpu_encode_frame(
         rp.rmax = rset.rmx;
         rp.dc_r = rset.dc_r;
         rp.max_step_r = (uint8_t)resid.max_step;
-        rp.nbits = (uint32_t)bits_r;
+        rp.nbits = (uint32_t)mr.mbits;
+        if (mr.use) {
+          rp.mask_plane = (uint8_t)mr.bstar;
+          rp.keep_mask = (uint16_t)mr.keep;
+        }
       }
     }
   }
 
-  std::vector<uint8_t> combined =
-      pack_variant(mode16, h, w, mn, mx, dc_b, (uint8_t)base.max_step, geom,
-                   bits_b, base_arena.data(), &rp, pointwise, zstd_level);
+  std::vector<uint8_t> combined = pack_variant(
+      mode16, h, w, mn, mx, dc_b, (uint8_t)base.max_step, geom, mq.mbits,
+      base_q_ptr, mq.use ? (uint8_t)q.bstar : MASK_NONE,
+      mq.use ? (uint16_t)mq.keep : 0, &rp, pointwise, zstd_level);
   std::vector<uint8_t>* chosen = &combined;
   std::vector<uint8_t> pure_blob;
   if (error_bounded) {
     // pure-base fallback comparison (j2k_codec.h:663-695, api.py)
     bool pure_required = !skip_residual && (!rp.present || !resid_feasible);
     if (!(disable_pure_fallback && !pure_required)) {
-      pure_blob = pack_variant(mode16, h, w, mn, mx, dc_b,
-                               (uint8_t)base.max_step, geom, bits_pure_b,
-                               base_arena.data(), nullptr, pointwise,
-                               zstd_level);
+      pure_blob = pack_variant(
+          mode16, h, w, mn, mx, dc_b, (uint8_t)base.max_step, geom,
+          mpure.mbits, base_pure_ptr,
+          mpure.use ? (uint8_t)pure.bstar : MASK_NONE,
+          mpure.use ? (uint16_t)mpure.keep : 0, nullptr, pointwise,
+          zstd_level);
       if (pure_required ||
           (feasible_pure && pure_blob.size() < combined.size()))
         chosen = &pure_blob;

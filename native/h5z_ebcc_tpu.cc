@@ -62,14 +62,16 @@ int ebcc_cpu_decode_frame(
     const uint8_t* base_stream, int64_t base_nbits, int max_step_b,
     float mn, float mx, float dc_b,
     int h, int w, int base_levels, int base_nplanes, int nchunks,
+    int base_mask_plane, uint32_t base_keep_mask,
     int has_resid, const uint8_t* resid_stream, int64_t resid_nbits,
     int max_step_r, float rmin, float rmax, float dc_r, int resid_levels,
-    int resid_nplanes, float* out);
+    int resid_nplanes, int resid_mask_plane, uint32_t resid_keep_mask,
+    float* out);
 
 int64_t ebcc_cpu_encode_frame(
     const float* data, const float* target_pw, int h, int w,
     int mode, float error, float base_cr, float residual_cr,
-    float qbase, int disable_pure_fallback,
+    float qbase, int disable_pure_fallback, int use_chunk_mask,
     int base_levels, int resid_levels, int nchunks,
     int base_nplanes, int resid_nplanes, int zstd_level,
     uint8_t* out, int64_t out_cap);
@@ -103,8 +105,11 @@ float u32_to_float(unsigned int v) {
 }
 
 constexpr unsigned FLAG_CONST = 1, FLAG_RESID = 2, FLAG_BASE_Z = 8;
-constexpr size_t HDR_SIZE = 4 + 1 + 1 + 2 + 4 + 4 + 4 + 4 + 4 + 4 + 1 + 5;
-constexpr size_t RES_SIZE = 4 + 4 + 4 + 1 + 4 + 8;
+constexpr size_t HDR3_SIZE = 4 + 1 + 1 + 2 + 4 + 4 + 4 + 4 + 4 + 4 + 1 + 5;
+constexpr size_t HDR_SIZE = HDR3_SIZE + 1 + 2;  // v4: + mask_plane, keep
+constexpr size_t RES3_SIZE = 4 + 4 + 4 + 1 + 4 + 8;
+constexpr size_t RES_SIZE = RES3_SIZE + 1 + 2;
+constexpr int MASK_NONE = 0xFF;
 
 // codec geometry defaults (codec/config.py EBCCConfig); the container is
 // self-describing so readers never depend on these
@@ -115,7 +120,13 @@ constexpr int kBaseNplanes = 22, kResidNplanes = 14, kZstdLevel = 19;
 // false on any malformed input
 bool decode_one_frame(const uint8_t* p, size_t len, std::vector<float>& out,
                       uint32_t* oh, uint32_t* ow) {
-  if (len < HDR_SIZE || memcmp(p, "EBT1", 4) != 0 || p[4] != 3) return false;
+  if (len < HDR3_SIZE || memcmp(p, "EBT1", 4) != 0 ||
+      (p[4] != 3 && p[4] != 4))
+    return false;
+  const bool v4 = p[4] == 4;
+  const size_t hdr_size = v4 ? HDR_SIZE : HDR3_SIZE;
+  const size_t res_size = v4 ? RES_SIZE : RES3_SIZE;
+  if (len < hdr_size) return false;
   unsigned flags = p[5];
   uint32_t h = rd<uint32_t>(p + 8), w = rd<uint32_t>(p + 12);
   float mn = rd<float>(p + 16), mx = rd<float>(p + 20);
@@ -124,6 +135,13 @@ bool decode_one_frame(const uint8_t* p, size_t len, std::vector<float>& out,
   int max_step_b = p[32];
   int base_levels = p[33], resid_levels = p[34], nchunks = p[35];
   int base_nplanes = p[36], resid_nplanes = p[37];
+  int base_mask_plane = -1;
+  uint32_t base_keep = 0;
+  if (v4 && p[38] != MASK_NONE) {
+    base_mask_plane = p[38];
+    base_keep = rd<uint16_t>(p + 39);
+    if (base_mask_plane >= base_nplanes) return false;
+  }
 
   // the header is untrusted file content: bound every field that sizes an
   // allocation, a shift, or a read.  levels <= 8 (legit frames never exceed
@@ -147,20 +165,27 @@ bool decode_one_frame(const uint8_t* p, size_t len, std::vector<float>& out,
     return true;
   }
 
-  size_t off = HDR_SIZE;
+  size_t off = hdr_size;
   float rmin = 0, rmax = 0, dc_r = 0;
   int max_step_r = 0;
   uint32_t resid_nbits = 0;
+  int resid_mask_plane = -1;
+  uint32_t resid_keep = 0;
   std::vector<uint8_t> resid_raw;
   if (flags & FLAG_RESID) {
-    if (len < off + RES_SIZE) return false;
+    if (len < off + res_size) return false;
     rmin = rd<float>(p + off);
     rmax = rd<float>(p + off + 4);
     dc_r = rd<float>(p + off + 8);
     max_step_r = p[off + 12];
     resid_nbits = rd<uint32_t>(p + off + 13);
     uint64_t zlen = rd<uint64_t>(p + off + 17);
-    off += RES_SIZE;
+    if (v4 && p[off + 25] != MASK_NONE) {
+      resid_mask_plane = p[off + 25];
+      resid_keep = rd<uint16_t>(p + off + 26);
+      if (resid_mask_plane >= resid_nplanes) return false;
+    }
+    off += res_size;
     if (zlen > len - off ||  // off <= len; no overflow
         max_step_r > 30 || (uint64_t)resid_nbits > 64ull * h * w)
       return false;
@@ -184,10 +209,10 @@ bool decode_one_frame(const uint8_t* p, size_t len, std::vector<float>& out,
   }
   return ebcc_cpu_decode_frame(
              base_ptr, base_nbits, max_step_b, mn, mx, dc_b, (int)h, (int)w,
-             base_levels, base_nplanes, nchunks,
+             base_levels, base_nplanes, nchunks, base_mask_plane, base_keep,
              (flags & FLAG_RESID) ? 1 : 0, resid_raw.data(), resid_nbits,
              max_step_r, rmin, rmax, dc_r, resid_levels, resid_nplanes,
-             out.data()) == 0;
+             resid_mask_plane, resid_keep, out.data()) == 0;
 }
 
 // decode a chunk payload: a bare EBT1 frame or an EBTB multi-frame blob;
@@ -280,8 +305,9 @@ bool encode_frames(const float* data, const float* targets, uint32_t d,
       int64_t sz = ebcc_cpu_encode_frame(
           data + (size_t)i * n, targets ? targets + (size_t)i * n : nullptr,
           (int)h, (int)w, c.mode, error, c.base_cr, residual_cr, c.qbase,
-          c.disable_pure_fallback, kBaseLevels, kResidLevels, kNchunks,
-          kBaseNplanes, kResidNplanes, kZstdLevel, frame.data(), cap);
+          c.disable_pure_fallback, /*use_chunk_mask=*/1, kBaseLevels,
+          kResidLevels, kNchunks, kBaseNplanes, kResidNplanes, kZstdLevel,
+          frame.data(), cap);
       if (sz < 0) {
         ok = false;
         return;

@@ -99,9 +99,13 @@ def main():
     t["6_unzstd"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    mb = np.array([-1 if m[0].base_mask_plane == container.MASK_NONE
+                   else m[0].base_mask_plane for m in metas], np.int32)
+    kb = np.array([m[0].base_keep_mask for m in metas], np.uint32)
     coef_b = native.coder_decode_batch(base_streams, bb, ms, bspec.height,
                                        bspec.width, bspec.group_levels,
-                                       bspec.nplanes, bspec.nchunks)
+                                       bspec.nplanes, bspec.nchunks,
+                                       mask_plane=mb, keep_mask=kb)
     t["7_native_base_decode"] = time.perf_counter() - t0
 
     rs = [b""] * B
@@ -115,9 +119,13 @@ def main():
             msr[i] = m[0].max_step_r
             k += 1
     t0 = time.perf_counter()
+    mr = np.array([-1 if m[0].resid_mask_plane == container.MASK_NONE
+                   else m[0].resid_mask_plane for m in metas], np.int32)
+    kr = np.array([m[0].resid_keep_mask for m in metas], np.uint32)
     coef_r = native.coder_decode_batch(rs, rbn, msr, rspec.height,
                                        rspec.width, rspec.group_levels,
-                                       rspec.nplanes, rspec.nchunks)
+                                       rspec.nplanes, rspec.nchunks,
+                                       mask_plane=mr, keep_mask=kr)
     t["8_native_resid_decode"] = time.perf_counter() - t0
 
     mn = np.array([m[0].mn for m in metas], np.float32)

@@ -102,3 +102,61 @@ def test_roundtrip_full_stream_is_lossless_ints(coefs, packed):
     dn = native.coder_decode_batch(streams, totals.astype(np.int64), ms,
                                    H, W, G, P, J)
     assert np.array_equal(dn, coefs.astype(np.float32))
+
+
+def test_masked_decode_matches_jax_and_closed_form(coefs, packed):
+    """Chunk-masked streams (format v4): the native decoders (scalar AND
+    BMI2) reproduce the JAX masked decode and the closed-form masked
+    reconstruction, in both f32 and u16 output forms."""
+    totals, words, ms = packed
+    an = bp.analyze(jnp.asarray(coefs), SPEC)
+    counts = bp.segment_counts(an, SPEC)
+    bstar = 3
+    bs = np.full(len(coefs), bstar, np.int32)
+    segs = np.asarray(bp.mask_segments(counts, bs, SPEC))
+    for keep in (0b0101, 0b1000, 0b0001):
+        drop = np.array([not (keep >> j) & 1 for j in range(J)])
+        ref = np.asarray(bp.recon_masked(
+            an, bs, jnp.asarray(np.tile(drop, (len(coefs), 1))), SPEC))
+        streams, nb = [], np.zeros(len(coefs), np.int64)
+        for i in range(len(coefs)):
+            full = words[i].astype(">u4").tobytes()
+            sb, nbits = bp.splice_masked_stream(full, segs[i], keep, J)
+            streams.append(sb)
+            nb[i] = nbits
+        mp = np.full(len(coefs), bstar, np.int32)
+        km = np.full(len(coefs), keep, np.uint32)
+        try:
+            for path in (1, 2):
+                native.force_coder_path(path)
+                dn = native.coder_decode_batch(streams, nb, ms, H, W, G, P,
+                                               J, mask_plane=mp,
+                                               keep_mask=km)
+                assert np.array_equal(dn, ref), f"path={path} keep={keep:b}"
+                v16, bend, ok = native.coder_decode_batch_u16(
+                    streams, nb, ms, H, W, G, P, J, mask_plane=mp,
+                    keep_mask=km)
+                for i in range(len(coefs)):
+                    if not ok[i]:
+                        continue
+                    v = v16[i].astype(np.int64)
+                    mag = (v & 0x3FFF) << bend[i]
+                    last = bend[i] + ((v >> 14) & 1)
+                    half = np.where((mag > 0) & (last > 0),
+                                    (2.0 ** last - 1.0) * 0.5, 0.0)
+                    rec = np.where(mag > 0, mag + half, 0.0)
+                    rec = np.where((v & 0x8000) != 0, -rec, rec)
+                    assert np.array_equal(rec.astype(np.float32),
+                                          ref[i]), f"u16 frame {i}"
+        finally:
+            native.force_coder_path(0)
+        # JAX word-buffer decode of the SAME spliced bytes
+        ww = np.zeros((len(coefs), CAP_WORDS), np.uint32)
+        for i, s in enumerate(streams):
+            v = np.frombuffer(s + b"\0" * (-len(s) % 4), ">u4")
+            ww[i, : len(v)] = v
+        dj = np.asarray(bp.decode_batch(
+            jnp.asarray(ww), jnp.asarray(nb, jnp.int32), jnp.asarray(ms),
+            SPEC, mask_plane=jnp.asarray(mp),
+            keep_mask=jnp.asarray(km.astype(np.int32))))
+        assert np.array_equal(dj, ref), f"jax keep={keep:b}"
