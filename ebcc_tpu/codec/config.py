@@ -77,6 +77,12 @@ class EBCCConfig:
     # scripts/stripe_adaptive_study.py).  Streams stay decodable by any v4
     # decoder; disable to emit pure-prefix streams only.
     use_chunk_mask: bool = True
+    # Pallas fused level-0 segment counts (ops/pallas_kernels.py): a pure
+    # scheduling change — counts (and therefore streams) are bit-identical
+    # to the jnp path.  Default follows EBCC_PALLAS=1; off until the
+    # on-chip A/B (BENCHMARKS.md) shows a win on the target toolchain.
+    use_pallas_counts: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get("EBCC_PALLAS") == "1")
     zstd_level: int = 19            # residual entropy stage (ref uses 22)
     max_batch: int = 8              # frames per device dispatch
     prefetch_batches: int = 2       # device batches in flight (pipelining)

@@ -201,6 +201,18 @@ class FrameCodec:
         rng = (rmax - rmin)[:, None, None]
         return rec / RESID_SCALE * rng + rmin[:, None, None]
 
+
+    def _counts(self, an, geom):
+        """segment_counts with the codec's Pallas scheduling flag applied.
+
+        On non-TPU backends the kernel runs in interpret mode (identical
+        results; used by the CPU test meshes) — Mosaic compilation is a
+        TPU-only path."""
+        use = self.config.use_pallas_counts
+        interp = use and jax.default_backend() != "tpu"
+        return bp.segment_counts(an, geom.spec, use_pallas=use,
+                                 pallas_interpret=interp)
+
     # ---------------- truncation search ----------------
     #
     # Feasibility (max-error or violation-quantile) is monotone in coded
@@ -254,7 +266,7 @@ class FrameCodec:
         table so several selections share it.
         """
         if cand is None:
-            counts = bp.segment_counts(an, geom.spec)
+            counts = self._counts(an, geom)
             cand = bp.candidate_bits(counts, geom.spec)  # [B, P, 2J]
         tgt = target if target.ndim == 3 else target[:, None, None]
         p = geom.spec.nplanes
@@ -428,7 +440,7 @@ class FrameCodec:
         def recon_b(rc):
             return self._base_recon(rc, mn, mx, dc)
 
-        counts_b = bp.segment_counts(an_b, self.base.spec)
+        counts_b = self._counts(an_b, self.base)
         cand_b = bp.candidate_bits(counts_b, self.base.spec)
         bits_q, feas_q, maxd_q, bs_q, ks_q = self._search_truncation(
             an_b, self.base, recon_b, data, target, qbase, cand=cand_b)
@@ -462,7 +474,7 @@ class FrameCodec:
         def recon_r(rc):
             return base_rec + self._resid_recon(rc, rmin, rmax, dcr)
 
-        counts_r = bp.segment_counts(an_r, self.resid.spec)
+        counts_r = self._counts(an_r, self.resid)
         resid_bits, resid_feas, _, bs_r, ks_r = self._search_truncation(
             an_r, self.resid, recon_r, data, target, jnp.float32(0.0),
             cand=bp.candidate_bits(counts_r, self.resid.spec))
@@ -520,7 +532,7 @@ class FrameCodec:
         def recon_b(rc):
             return self._base_recon(rc, mn, mx, dc)
 
-        counts_b = bp.segment_counts(an_b, self.base.spec)
+        counts_b = self._counts(an_b, self.base)
         cand_b = bp.candidate_bits(counts_b, self.base.spec)
         bits_pure, feas_pure, _, bs_pure, ks_pure = self._search_truncation(
             an_b, self.base, recon_b, data, target, jnp.float32(0.0),
@@ -552,7 +564,7 @@ class FrameCodec:
             def recon_r(rc, _b=base_rec, _rmin=rmin, _rmax=rmax, _dcr=dcr):
                 return _b + self._resid_recon(rc, _rmin, _rmax, _dcr)
 
-            counts_r = bp.segment_counts(an_r, self.resid.spec)
+            counts_r = self._counts(an_r, self.resid)
             resid_bits, resid_feas, _, bs_r, ks_r = self._search_truncation(
                 an_r, self.resid, recon_r, data, target, jnp.float32(0.0),
                 cand=bp.candidate_bits(counts_r, self.resid.spec))
@@ -597,7 +609,7 @@ class FrameCodec:
         """
         mn, mx, const, dc, ci = self._base_transform(data)
         an_b = bp.analyze(ci, self.base.spec)
-        counts = bp.segment_counts(an_b, self.base.spec)
+        counts = self._counts(an_b, self.base)
         cand = bp.candidate_bits(counts, self.base.spec)
         flat = cand.reshape(cand.shape[0], -1)
         fits = flat <= base_budget_bits[:, None]
@@ -613,7 +625,7 @@ class FrameCodec:
         resid = data - base_rec
         rmin, rmax, dcr, cir = self._resid_transform(resid)
         an_r = bp.analyze(cir, self.resid.spec)
-        counts_r = bp.segment_counts(an_r, self.resid.spec)
+        counts_r = self._counts(an_r, self.resid)
         cand_r = bp.candidate_bits(counts_r, self.resid.spec).reshape(
             cand.shape[0], -1)
         fits_r = cand_r <= resid_budget_bits[:, None]

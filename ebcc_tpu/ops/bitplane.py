@@ -125,11 +125,17 @@ def _planes(spec: CoderSpec):
     return jnp.arange(spec.nplanes - 1, -1, -1, dtype=jnp.int32)
 
 
-def segment_counts(an: Analysis, spec: CoderSpec):
+def segment_counts(an: Analysis, spec: CoderSpec, use_pallas: bool = False,
+                   pallas_interpret: bool = False):
     """Number of bits emitted per (plane, segment); closed form.
 
     Returns int32 [B, nplanes, nsegments].  Segment order per plane:
     group level G..1, (sig_j, sign_j) for j in 0..J-1, refine_j for j.
+
+    ``use_pallas``: compute the level-0 counts (the 3J large segments)
+    with the fused VMEM kernel (ops/pallas_kernels.py) — bit-identical
+    results, scheduling only.  ``pallas_interpret`` runs that kernel in
+    interpret mode (CPU testing).
     """
     g, j = spec.group_levels, spec.nchunks
     sid = stripe_id(spec)
@@ -147,6 +153,21 @@ def segment_counts(an: Analysis, spec: CoderSpec):
             par_ok = _upsample2(an.smax[k + 1][:, None] >= pb)
         emit = par_ok & (an.smax[k][:, None] <= pb)
         segs.append(count(emit))
+    if use_pallas:
+        from . import pallas_kernels as pk
+        if not pk.level0_supported(spec.height, spec.width, g, j):
+            use_pallas = False
+    if use_pallas:
+        par_full = _upsample2(an.smax[1])
+        k0 = pk.level0_counts(an.msb, par_full, spec.nplanes, j,
+                              interpret=pallas_interpret)
+        k0 = k0[:, :, ::-1, :]  # kernel emits planes ascending
+        for jj in range(j):
+            segs.append(k0[:, jj, :, 0])
+            segs.append(k0[:, jj, :, 1])
+        for jj in range(j):
+            segs.append(k0[:, jj, :, 2])
+        return jnp.stack(segs, axis=-1)  # [B, P, S]
     par0 = _upsample2(an.smax[1][:, None] >= pb)
     emit0 = par0 & (an.msb[:, None] <= pb)
     new = an.msb[:, None] == pb
