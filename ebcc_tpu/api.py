@@ -39,17 +39,18 @@ from .runtime import native as _native
 MIN_RESID_BYTES = 16
 
 # EncodeResult fields whose device->host fetch is deferred until the small
-# flags decide which representation (u8 / u16 / exact f32) is needed.
-# The TYPICAL base form (sparse) is NOT deferred: it is async-prefetched at
-# dispatch so the drain almost never waits on the link; denser forms
-# transfer only when the flags demand them.  ALL residual forms are
-# deferred: at production configs the pure-base variant usually wins and
-# the residual layer is skipped for every frame, in which case no residual
-# bytes cross the link at all (see _pack_layer_streams' empty-arena
-# early-out).
+# flags decide which representation (sparse / u8 / u16 / exact f32) is
+# needed.  The coefficient forms — including the typical sparse pairs —
+# are deferred: the drain reads the per-frame counts from the prefetched
+# small fields first, then starts a TRIMMED async fetch covering only the
+# populated prefix of the sparse arrays (a full-cap prefetch at dispatch
+# would move ~2x the bytes over a link that is the encode bottleneck).
+# Residual forms cross the link only when some frame keeps residual bits
+# (see _pack_layer_streams' empty-arena early-out).
 _F32_COEF_FIELDS = ("base_coef", "resid_coef")
 _DEFERRED_FIELDS = _F32_COEF_FIELDS + (
-    "base_pack16", "resid_pack16", "base_pack8", "resid_pack8")
+    "base_pack16", "resid_pack16", "base_pack8", "resid_pack8",
+    "base_sp_delta", "base_sp_val", "resid_sp_delta", "resid_sp_val")
 
 
 def pointwise_targets(frames: np.ndarray, eb: np.ndarray,
@@ -282,22 +283,64 @@ def compress(data, config: EBCCConfig | None = None, *,
     bsz = min(config.max_batch, n)
     pending = []  # (n_valid, EncodeResult) — device results in flight
 
-    def drain(entry):
-        nb_valid, res = entry
-        rd = res._asdict()
-        # fetch the small fields first (async-prefetched); the coefficient
-        # representation (u8 / u16 / exact f32) is chosen per layer from
-        # the flags and only that one is pulled over the link
-        resn = jax.device_get({k: v for k, v in rd.items()
-                               if k not in _DEFERRED_FIELDS})
-        _check_plane_budget(resn, config)
-        if not np.all(resn["const"] | resn["skip_residual"]):
-            # some frame keeps residual bits: start its typical transfer
-            # form moving now so it overlaps the base-layer host packing
+    def _start_transfers(rd, resn):
+        """Begin the async d2h of each layer's chosen coefficient form,
+        TRIMMED to the populated sparse prefix; the trimmed device views
+        are stashed in rd so _fetch_coef reuses the same arrays instead of
+        re-slicing.  Idempotent (one shot per batch)."""
+        if rd.get("_transfers_started"):
+            return
+        rd["_transfers_started"] = True
+
+        def _start(layer):
             try:
-                rd["resid_pack8"].copy_to_host_async()
+                if resn[f"{layer}_sparse_ok"].all():
+                    d, v = _trim_sparse(rd, layer, resn[f"{layer}_nsig"])
+                    rd[f"{layer}_sp_delta"], rd[f"{layer}_sp_val"] = d, v
+                    d.copy_to_host_async()
+                    v.copy_to_host_async()
+                elif resn[f"{layer}_pack8_ok"].all():
+                    rd[f"{layer}_pack8"].copy_to_host_async()
             except (AttributeError, RuntimeError):
                 pass
+
+        _start("base")
+        if not np.all(resn["const"] | resn["skip_residual"]):
+            # some frame keeps residual bits: its form must cross the link
+            _start("resid")
+
+    def prime(entry):
+        """Non-blocking cross-batch prefetch: once a pending batch's small
+        fields are READY (compute done, values on host side of the link),
+        kick off its trimmed coefficient transfers so they overlap the
+        current batch's host packing.  Never blocks on an unfinished
+        batch — that would serialize device compute with host work."""
+        _, res, rd = entry
+        if rd.get("_transfers_started") or "_resn" in rd:
+            return
+        small = {k: v for k, v in rd.items()
+                 if not k.startswith("_") and k not in _DEFERRED_FIELDS}
+        try:
+            if not all(getattr(v, "is_ready", lambda: True)()
+                       for v in small.values()):
+                return
+        except Exception:
+            return
+        rd["_resn"] = jax.device_get(small)
+        _start_transfers(rd, rd["_resn"])
+
+    def drain(entry):
+        nb_valid, res, rd = entry
+        # fetch the small fields first (async-prefetched); the coefficient
+        # representation (sparse / u8 / u16 / exact f32) is chosen per
+        # layer from the flags and only that one is pulled over the link
+        resn = rd.pop("_resn", None)
+        if resn is None:
+            resn = jax.device_get({k: v for k, v in rd.items()
+                                   if not k.startswith("_") and
+                                   k not in _DEFERRED_FIELDS})
+        _check_plane_budget(resn, config)
+        _start_transfers(rd, resn)
         streams = _pack_streams(resn, codec, rd)
         zblobs = _zstd_stage(resn, streams, nb_valid, config)
         return [_assemble_frame(resn, i, h, w, config, mode,
@@ -352,11 +395,17 @@ def compress(data, config: EBCCConfig | None = None, *,
                 leaf.copy_to_host_async()
             except (AttributeError, RuntimeError):
                 break
-        pending.append((hi - lo, res))
+        pending.append((hi - lo, res, res._asdict()))
         if len(pending) > config.prefetch_batches:
-            drained.append(drain(pending.pop(0)))
+            entry = pending.pop(0)
+            for e in pending:
+                prime(e)
+            drained.append(drain(entry))
     while pending:
-        drained.append(drain(pending.pop(0)))
+        entry = pending.pop(0)
+        for e in pending:
+            prime(e)
+        drained.append(drain(entry))
     out_frames = [f for frames_ in drained for f in frames_]
     return container.pack_blob(out_frames)
 
@@ -369,7 +418,8 @@ _PER_Q_FIELDS = ("base_bits_q", "bs_q", "ks_q", "bs_r", "ks_r",
                  "resid_coef", "resid_bits", "resid_feasible",
                  "skip_residual", "resid_pack16", "resid_pack8",
                  "resid_shift", "resid_shift8", "resid_pack16_ok",
-                 "resid_pack8_ok")
+                 "resid_pack8_ok", "resid_sp_delta", "resid_sp_val",
+                 "resid_nsig", "resid_sparse_ok")
 
 
 def compress_multi_q(data, qs, config: EBCCConfig | None = None, *,
@@ -504,6 +554,26 @@ def _zstd_stage(res, streams, n, config):
     return dict(zip(idx, packed))
 
 
+def _sparse_bucket(kmax: int, kcap: int) -> int:
+    """Fetch length for sparse arrays: kmax rounded up to a multiple of
+    8192 (bounded distinct slice programs for the compile cache; typical
+    caps are ~141K entries, so at most ~17 programs per geometry)."""
+    if kmax <= 4096:
+        return min(kcap, 4096)
+    return min(kcap, -(-int(kmax) // 8192) * 8192)
+
+
+def _trim_sparse(rd, layer, counts):
+    """Device-side views of one layer's sparse pair, trimmed to the bucket
+    covering max(nsig) — only the populated prefix crosses the link."""
+    deltas, vals = rd[f"{layer}_sp_delta"], rd[f"{layer}_sp_val"]
+    k = _sparse_bucket(int(np.max(np.asarray(counts), initial=0)),
+                       deltas.shape[1])
+    if k >= deltas.shape[1]:
+        return deltas, vals
+    return deltas[:, :k], vals[:, :k]
+
+
 def _fetch_coef(res, rd, layer):
     """Pull the smallest valid coefficient form for one layer off device.
 
@@ -511,10 +581,10 @@ def _fetch_coef(res, rd, layer):
     ("dense", coef ndarray, shifts-or-None) ready for the native coder,
     smallest representation first: sparse -> u8 -> u16 -> exact f32.
     """
-    if layer == "base" and res["base_sparse_ok"].all():
-        return ("sparse", np.asarray(rd["base_sp_delta"]),
-                np.asarray(rd["base_sp_val"]), res["base_nsig"],
-                res["base_shift"])
+    if res[f"{layer}_sparse_ok"].all():
+        deltas, vals = _trim_sparse(rd, layer, res[f"{layer}_nsig"])
+        return ("sparse", np.asarray(deltas), np.asarray(vals),
+                res[f"{layer}_nsig"], res[f"{layer}_shift"])
     if res[f"{layer}_pack8_ok"].all():
         return ("dense", np.asarray(rd[f"{layer}_pack8"]),
                 res[f"{layer}_shift8"])

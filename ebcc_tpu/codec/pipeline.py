@@ -131,6 +131,14 @@ class EncodeResult(NamedTuple):
     base_sp_val: jax.Array      # u16 [B, K]
     base_nsig: jax.Array        # i32 [B]
     base_sparse_ok: jax.Array   # bool [B]
+    # sparse form of the residual layer (same layout, cap K_r): after the
+    # coded-plane zeroing most residual coefficients are exact zeros, so
+    # the sparse transfer typically replaces the 1 B/px dense u8 plane —
+    # the largest remaining encode d2h component on tunnel hosts
+    resid_sp_delta: jax.Array   # u16 [B, K_r]
+    resid_sp_val: jax.Array     # u16 [B, K_r]
+    resid_nsig: jax.Array       # i32 [B]
+    resid_sparse_ok: jax.Array  # bool [B]
 
 
 class FrameCodec:
@@ -144,6 +152,7 @@ class FrameCodec:
         self.resid = _make_geom(h, w, c.residual_levels, c.residual_nplanes,
                                 c.nchunks, c.residual_cap_bits_per_px)
         self.base_sparse_k = (self.base.hp * self.base.wp) // 8
+        self.resid_sparse_k = (self.resid.hp * self.resid.wp) // 8
         self.wb = jnp.asarray(
             weights.weight_array(self.base.hp, self.base.wp, c.base_levels))
         self.wr = jnp.asarray(weights.weight_array(
@@ -396,11 +405,11 @@ class FrameCodec:
         p8, s8, ok8 = pack(8, 128, jnp.uint8)
         return p16, p8, s16, s8, ok16, ok8
 
-    def _sparsify(self, p16, pack16_ok):
+    def _sparsify(self, p16, pack16_ok, k=None):
         """Sparse (delta, value) transfer form of a packed-u16 plane."""
         b = p16.shape[0]
         n = p16.shape[1] * p16.shape[2]
-        k = self.base_sparse_k
+        k = self.base_sparse_k if k is None else k
         flat = p16.reshape(b, n)
         nzm = flat != 0
         nsig = jnp.sum(nzm, axis=-1, dtype=jnp.int32)
@@ -488,6 +497,8 @@ class FrameCodec:
             cir, an_r.max_step,
             jnp.where(skip_residual, self.resid.spec.nplanes, bs_r))
         spd, spv, nsig, oksp = self._sparsify(pb16, okb16)
+        rspd, rspv, rnsig, roksp = self._sparsify(pr16, okr16,
+                                                  self.resid_sparse_k)
 
         # coefficients travel to the host coder packed u8/u16 (or as
         # float32 — exact integers < 2**22 — when >15 planes are coded);
@@ -511,7 +522,9 @@ class FrameCodec:
             base_pack16_ok=okb16, resid_pack16_ok=okr16,
             base_pack8_ok=okb8, resid_pack8_ok=okr8,
             base_sp_delta=spd, base_sp_val=spv, base_nsig=nsig,
-            base_sparse_ok=oksp)
+            base_sparse_ok=oksp,
+            resid_sp_delta=rspd, resid_sp_val=rspv, resid_nsig=rnsig,
+            resid_sparse_ok=roksp)
 
     def _encode_error_bounded_multi(self, data, target, qs):
         """Evaluate K base-quantile candidates in ONE device call.
@@ -574,7 +587,11 @@ class FrameCodec:
             pr16, pr8, sr16, sr8, okr16, okr8 = self._pack_small(
                 cir, an_r.max_step,
                 jnp.where(skip_residual, self.resid.spec.nplanes, bs_r))
+            rspd, rspv, rnsig, roksp = self._sparsify(
+                pr16, okr16, self.resid_sparse_k)
             per_q.append(dict(
+                resid_sp_delta=rspd, resid_sp_val=rspv, resid_nsig=rnsig,
+                resid_sparse_ok=roksp,
                 base_bits_q=bits_q, bs_q=bs_q, ks_q=ks_q, bs_r=bs_r,
                 ks_r=ks_r, km_q=km_q, km_r=km_r, mbits_q=mbits_q,
                 mbits_r=mbits_r, segs_q=segs_q, segs_r=segs_r,
@@ -643,6 +660,8 @@ class FrameCodec:
             cir, an_r.max_step,
             jnp.where(use_resid, bs_r, self.resid.spec.nplanes))
         spd, spv, nsig, oksp = self._sparsify(pb16, okb16)
+        rspd, rspv, rnsig, roksp = self._sparsify(pr16, okr16,
+                                                  self.resid_sparse_k)
 
         # rate-targeted modes have no error criterion to mask against:
         # streams stay pure prefixes (km = -1)
@@ -670,7 +689,9 @@ class FrameCodec:
             base_pack16_ok=okb16, resid_pack16_ok=okr16,
             base_pack8_ok=okb8, resid_pack8_ok=okr8,
             base_sp_delta=spd, base_sp_val=spv, base_nsig=nsig,
-            base_sparse_ok=oksp)
+            base_sparse_ok=oksp,
+            resid_sp_delta=rspd, resid_sp_val=rspv, resid_nsig=rnsig,
+            resid_sparse_ok=roksp)
 
     # ---------------- decode stages ----------------
 

@@ -140,11 +140,11 @@ class SpatialFrameCodec(FrameCodec):
             mesh=self.mesh, in_specs=self._spec3(),
             out_specs=self._spec3())(gathered)
 
-    def _sparsify(self, p16, pack16_ok):
+    def _sparsify(self, p16, pack16_ok, k=None):
         # the sparse form's full-frame sort does not partition usefully;
         # disabled — the host coder uses the dense u8/u16 forms instead
         b = p16.shape[0]
-        k = self.base_sparse_k
+        k = self.base_sparse_k if k is None else k
         z16 = jnp.zeros((b, k), jnp.uint16)
         return (z16, z16, jnp.zeros((b,), jnp.int32),
                 jnp.zeros((b,), bool))

@@ -36,7 +36,10 @@ def test_two_process_mesh():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            # budget: the cross-process spatial encode compiles the full
+            # pipeline in both workers (~2-4 min cold on this 1-core host;
+            # the persistent /tmp/jax_cache makes re-runs fast)
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -45,3 +48,4 @@ def test_two_process_mesh():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"OK process {i}/2" in out, out
+        assert f"sharded-encode ok process {i}/2" in out, out

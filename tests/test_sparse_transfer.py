@@ -84,3 +84,74 @@ def test_sparsify_roundtrip_exact():
         rebuilt[pos] = v[b][: nsig[b]]
         assert np.array_equal(rebuilt.reshape(codec.base.hp, codec.base.wp),
                               p16[b])
+
+
+@pytest.fixture(scope="module")
+def noisy():
+    """Smooth field with localized spikes: at a loose base quantile the
+    residual layer codes (mostly) the spikes -> few nonzero residual
+    coefficients -> the sparse transfer form applies."""
+    y, x = np.mgrid[0:H, 0:W]
+    base = (260 + 25 * np.sin(y / H * np.pi) *
+            np.cos(x / W * 2 * np.pi)).astype(np.float32)
+    rng = np.random.default_rng(7)
+    frames = np.stack([base, base * 1.001]).astype(np.float32)
+    for b in range(2):
+        ys = rng.integers(0, H, 40)
+        xs = rng.integers(0, W, 40)
+        frames[b, ys, xs] += rng.choice([-2.0, 2.0], 40).astype(np.float32)
+    return frames
+
+
+def test_resid_sparse_blob_equals_dense_blob(noisy):
+    """The residual sparse transfer (round-3 d2h shrink) is a pure transfer
+    optimisation: containers must match the dense-u8/u16 path byte for
+    byte, and the encode result must actually exercise the sparse form."""
+    cfg = EBCCConfig(mode=ResidualMode.MAX_ERROR, error=0.5, base_cr=150,
+                     max_batch=2, encode_backend="device")
+    # a loose base quantile (2% of points may violate at the base layer)
+    # forces the residual layer to carry the correction
+    qbase = 0.02
+    codec = FrameCodec(H, W, cfg)
+    res = codec.encode_error_bounded(noisy, np.full(2, 0.5, np.float32),
+                                     qbase)
+    keeps_resid = ~(np.asarray(res.skip_residual) |
+                    ~np.asarray(res.resid_feasible))
+    if not keeps_resid.any():
+        pytest.skip("residual layer not kept at this size/bound")
+    if not np.asarray(res.resid_sparse_ok).all():
+        pytest.skip("residual sparse form not applicable here")
+    assert int(np.asarray(res.resid_nsig).max()) > 0
+
+    blob = ebcc_tpu.compress(noisy, cfg, qbase=qbase)
+    rec = ebcc_tpu.decompress(blob, cfg)
+    assert float(np.max(np.abs(rec - noisy))) <= 0.5
+
+    orig = api._fetch_coef
+
+    def force_dense(res_, rd, layer):
+        if layer == "resid":
+            form = ("pack8" if res_["resid_pack8_ok"].all() else "pack16")
+            shift = res_["resid_shift8" if form == "pack8"
+                         else "resid_shift"]
+            return ("dense", np.asarray(rd[f"resid_{form}"]), shift)
+        return orig(res_, rd, layer)
+
+    api._fetch_coef = force_dense
+    try:
+        blob_dense = ebcc_tpu.compress(noisy, cfg, qbase=qbase)
+    finally:
+        api._fetch_coef = orig
+    assert blob == blob_dense
+
+
+def test_sparse_bucket_trim_is_lossless():
+    """Bucketed fetch trimming never cuts populated entries."""
+    assert api._sparse_bucket(0, 100_000) == 4096
+    assert api._sparse_bucket(4096, 100_000) == 4096
+    assert api._sparse_bucket(4097, 100_000) == 8192
+    assert api._sparse_bucket(70_000, 100_000) == 73_728
+    assert api._sparse_bucket(99_999, 100_000) == 100_000
+    for kmax in (0, 1, 4096, 8192, 8193, 70_000, 141_312):
+        k = api._sparse_bucket(kmax, 141_312)
+        assert kmax <= k <= 141_312
