@@ -426,8 +426,12 @@ struct LayerEnc {
 
   // closed-form reconstruction with per-stripe drops at plane b
   // (ops/bitplane.py recon_masked): dropped stripes stay at plane b + 1
-  // precision, kept stripes complete plane b
-  void recon_coef_masked(int b, uint32_t drop, float* out) const {
+  // precision, kept stripes complete plane b.  ``wdiv`` (optional) fuses
+  // layer_recon's per-coefficient weight division into this pass —
+  // (-v)/w == -(v/w) and 0/w == 0 exactly in IEEE f32, so the fusion is
+  // byte-identity-safe.
+  void recon_coef_masked(int b, uint32_t drop, float* out,
+                         const float* wdiv = nullptr) const {
     for (int r = 0; r < h; ++r) {
       int d = b + (int)((drop >> stripe(r)) & 1u);
       float half = d > 0 ? (float)((1u << d) - 1) * 0.5f : 0.0f;
@@ -439,6 +443,7 @@ struct LayerEnc {
           continue;
         }
         float v = (float)q + half;
+        if (wdiv) v /= wdiv[i];
         out[i] = neg[i] ? -v : v;
       }
     }
@@ -446,7 +451,8 @@ struct LayerEnc {
 
   // closed-form coefficient reconstruction at a truncation point
   // (ops/bitplane.py recon_truncated); fine == false means plane b complete
-  void recon_coef(int b, int js, int jr, bool fine, float* out) const {
+  void recon_coef(int b, int js, int jr, bool fine, float* out,
+                  const float* wdiv = nullptr) const {
     for (int r = 0; r < h; ++r) {
       int sid = stripe(r);
       for (int c = 0; c < w; ++c) {
@@ -469,6 +475,7 @@ struct LayerEnc {
         uint32_t q = (mag[i] >> beff) << beff;
         float half = beff > 0 ? (float)((1u << beff) - 1) * 0.5f : 0.0f;
         float v = (float)q + half;
+        if (wdiv) v /= wdiv[i];
         out[i] = neg[i] ? -v : v;
       }
     }
@@ -637,9 +644,19 @@ struct MaskResult {
   int bstar = 0;       // the selection's (= masked) plane
 };
 
+// Memo shareable across the q and pure mask searches of one layer (keyed
+// by (plane, drop-set)).  Sharing is conclusive because the searches run in
+// nonincreasing-qa order (qbase, then 0): an entry whose scan early-exited
+// at the larger qa has maxd > 0, which the stricter pure rule reads as
+// infeasible — the same verdict a full scan would reach — and any entry a
+// pure select ACCEPTS had no violations, so its scan ran to completion and
+// its stats are exact.
+using MaskMemo = std::vector<std::pair<uint64_t, ErrStats>>;
+
 template <typename EvalM>
 MaskResult search_mask(const LayerEnc& L, float qa, const SearchResult& sel,
-                       int use_chunk_mask, EvalM&& evalm) {
+                       int use_chunk_mask, EvalM&& evalm,
+                       MaskMemo* shared_memo = nullptr) {
   MaskResult m;
   m.mbits = sel.bits;
   m.maxd = sel.maxd;
@@ -648,12 +665,14 @@ MaskResult search_mask(const LayerEnc& L, float qa, const SearchResult& sel,
   auto ok_rule = [&](const ErrStats& e) {
     return qa > 0.0f ? e.viol <= (double)qa : e.maxd <= 0.0f;
   };
-  std::vector<std::pair<uint32_t, ErrStats>> memo;
+  MaskMemo local;
+  MaskMemo& memo = shared_memo ? *shared_memo : local;
   auto eval_m = [&](uint32_t dr) {
+    uint64_t key = ((uint64_t)(uint32_t)sel.bstar << 32) | dr;
     for (auto& kv : memo)
-      if (kv.first == dr) return kv.second;
+      if (kv.first == key) return kv.second;
     ErrStats e = evalm(sel.bstar, dr, qa);
-    memo.emplace_back(dr, e);
+    memo.emplace_back(key, e);
     return e;
   };
   uint32_t drop = 0;
@@ -966,7 +985,12 @@ int64_t ebcc_cpu_encode_frame(
     return t;
   };
 
-  // y / 65535 * rng + mn, reassociated + fused the way XLA compiles it
+  // y / 65535 * rng + mn, reassociated + fused the way XLA compiles it.
+  // Search evals fuse layer_recon into the pipeline: the weight division
+  // rides the coefficient recon, the idwt runs in place on coef_buf, and
+  // the +dc / clamp / unscale arithmetic is applied inside the error scan
+  // (same ops in the same order as layer_recon + the old scan — only the
+  // intermediate full-plane buffer is gone).
   const float unscale_c = RECIP_U16 * rng;
   auto base_scan = [&](float qa) -> ErrStats {
     float maxd = -std::numeric_limits<float>::infinity();
@@ -975,7 +999,10 @@ int64_t ebcc_cpu_encode_frame(
     for (int r = 0; r < h; ++r) {
       for (int c = 0; c < w; ++c) {
         size_t i = (size_t)r * w + c;
-        float rec = std::fma(rec_buf[(size_t)r * base.w + c], unscale_c, mn);
+        float y = std::min(
+            std::max(coef_buf[(size_t)r * base.w + c] + dc_b, 0.0f),
+            U16_MAX);
+        float rec = std::fma(y, unscale_c, mn);
         float e = std::fabs(data[i] - rec) - target_at(i);
         maxd = std::max(maxd, e);
         if (e > 0.0f) ++nv;
@@ -986,13 +1013,13 @@ int64_t ebcc_cpu_encode_frame(
   };
   auto base_eval = [&](int b, int js, int jr, bool fine,
                        float qa) -> ErrStats {
-    base.recon_coef(b, js, jr, fine, coef_buf.data());
-    layer_recon(base, coef_buf.data(), dc_b, U16_MAX, rec_buf.data());
+    base.recon_coef(b, js, jr, fine, coef_buf.data(), base.wplane.data());
+    ebcc_cpu_idwt2d_multi(coef_buf.data(), base.h, base.w, base.levels);
     return base_scan(qa);
   };
   auto base_evalm = [&](int b, uint32_t drop, float qa) -> ErrStats {
-    base.recon_coef_masked(b, drop, coef_buf.data());
-    layer_recon(base, coef_buf.data(), dc_b, U16_MAX, rec_buf.data());
+    base.recon_coef_masked(b, drop, coef_buf.data(), base.wplane.data());
+    ebcc_cpu_idwt2d_multi(coef_buf.data(), base.h, base.w, base.levels);
     return base_scan(qa);
   };
 
@@ -1012,8 +1039,11 @@ int64_t ebcc_cpu_encode_frame(
     bits_b = q.bits;
     bits_pure_b = pure.bits;
     feasible_pure = pure.feasible;
-    mq = search_mask(base, qbase, q, use_chunk_mask, base_evalm);
-    mpure = search_mask(base, 0.0f, pure, use_chunk_mask, base_evalm);
+    MaskMemo base_mask_memo;  // shared q -> pure (nonincreasing qa)
+    mq = search_mask(base, qbase, q, use_chunk_mask, base_evalm,
+                     &base_mask_memo);
+    mpure = search_mask(base, 0.0f, pure, use_chunk_mask, base_evalm,
+                        &base_mask_memo);
     // "Skip Residual" (j2k_codec.h:584) against the decoder's v4 view
     skip_residual = mq.maxd <= 0.0f;
 
@@ -1026,8 +1056,8 @@ int64_t ebcc_cpu_encode_frame(
     if (resid.max_step > resid.P - 1) return -3;
 
     std::vector<float> rcoef((size_t)resid.h * resid.w);
-    std::vector<float> rrec((size_t)resid.h * resid.w);
     float rc0 = RECIP_RS * (rset.rmx - rset.rmn);
+    // fused eval pipeline, same shape as the base layer's (see above)
     auto resid_scan = [&](float qa) -> ErrStats {
       float maxd = -std::numeric_limits<float>::infinity();
       size_t nv = 0;
@@ -1035,8 +1065,10 @@ int64_t ebcc_cpu_encode_frame(
       for (int r = 0; r < h; ++r) {
         for (int c = 0; c < w; ++c) {
           size_t i = (size_t)r * w + c;
-          float rec = base_rec[i] +
-                      std::fma(rrec[(size_t)r * resid.w + c], rc0, rset.rmn);
+          float y = std::min(
+              std::max(rcoef[(size_t)r * resid.w + c] + rset.dc_r, 0.0f),
+              RESID_SCALE);
+          float rec = base_rec[i] + std::fma(y, rc0, rset.rmn);
           float e = std::fabs(data[i] - rec) - target_at(i);
           maxd = std::max(maxd, e);
           if (e > 0.0f) ++nv;
@@ -1047,13 +1079,14 @@ int64_t ebcc_cpu_encode_frame(
     };
     auto resid_eval = [&](int b, int js2, int jr2, bool fine,
                           float qa) -> ErrStats {
-      resid.recon_coef(b, js2, jr2, fine, rcoef.data());
-      layer_recon(resid, rcoef.data(), rset.dc_r, RESID_SCALE, rrec.data());
+      resid.recon_coef(b, js2, jr2, fine, rcoef.data(),
+                       resid.wplane.data());
+      ebcc_cpu_idwt2d_multi(rcoef.data(), resid.h, resid.w, resid.levels);
       return resid_scan(qa);
     };
     auto resid_evalm = [&](int b, uint32_t drop, float qa) -> ErrStats {
-      resid.recon_coef_masked(b, drop, rcoef.data());
-      layer_recon(resid, rcoef.data(), rset.dc_r, RESID_SCALE, rrec.data());
+      resid.recon_coef_masked(b, drop, rcoef.data(), resid.wplane.data());
+      ebcc_cpu_idwt2d_multi(rcoef.data(), resid.h, resid.w, resid.levels);
       return resid_scan(qa);
     };
     SearchResult rq;
