@@ -33,14 +33,14 @@ from jax.experimental.pallas import tpu as pltpu
 def _level0_kernel(msb_ref, par_ref, out_ref, *, nplanes: int):
     """Counts for ONE (frame, stripe) tile.
 
-    msb_ref/par_ref: [1, th, wp] int32 (msb of each coefficient; msb of its
-    level-1 quadtree parent, pre-upsampled).  out_ref: [1, 1, P, 3] int32 in
-    SMEM — per plane p (ascending): [significance bits, sign bits,
+    msb_ref/par_ref: [1, 1, th, wp] int32 (msb of each coefficient; msb of
+    its level-1 quadtree parent, pre-upsampled).  out_ref: [1, 1, P, 3]
+    int32 in SMEM — per plane p (ascending): [significance bits, sign bits,
     refinement bits], matching bitplane.segment_counts's level-0 masks
     (emit0 / new / old) for this stripe.
     """
-    msb = msb_ref[0]
-    par = par_ref[0]
+    msb = msb_ref[0, 0]
+    par = par_ref[0, 0]
     for p in range(nplanes):
         # emit0: parent significant at p, self not yet (msb <= p)
         out_ref[0, 0, p, 0] = jnp.sum(((par >= p) & (msb <= p))
@@ -69,15 +69,21 @@ def level0_counts(msb, par_msb, nplanes: int, nchunks: int,
     """
     b, hp, wp = msb.shape
     th = hp // nchunks
+    # Tiles are addressed as [B, J, th, wp] so each block covers the FULL
+    # trailing two dims — Mosaic requires the last two block dims to be
+    # (8, 128)-divisible OR equal to the array dims, and a row stripe of a
+    # 721x1440-class frame (th = 92) is not 8-divisible.
+    msb4 = msb.reshape(b, nchunks, th, wp)
+    par4 = par_msb.reshape(b, nchunks, th, wp)
     return pl.pallas_call(
         functools.partial(_level0_kernel, nplanes=nplanes),
         grid=(b, nchunks),
         in_specs=[
-            pl.BlockSpec((1, th, wp), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, th, wp), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, th, wp), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, th, wp), lambda i, j: (i, j, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, nplanes, 3), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((b, nchunks, nplanes, 3), jnp.int32),
         interpret=interpret,
-    )(msb, par_msb)
+    )(msb4, par4)
