@@ -22,6 +22,7 @@ import jax
 import numpy as np
 
 from .codec import container
+from .codec import pipeline as _pipeline
 from .codec.config import (EBCCConfig, ResidualMode, base_error_quantile,
                            pure_fallback_disabled)
 from .codec.pipeline import FrameCodec
@@ -48,9 +49,31 @@ MIN_RESID_BYTES = 16
 # Residual forms cross the link only when some frame keeps residual bits
 # (see _pack_layer_streams' empty-arena early-out).
 _F32_COEF_FIELDS = ("base_coef", "resid_coef")
-_DEFERRED_FIELDS = _F32_COEF_FIELDS + (
-    "base_pack16", "resid_pack16", "base_pack8", "resid_pack8",
-    "base_sp_delta", "base_sp_val", "resid_sp_delta", "resid_sp_val")
+_DEFERRED_FIELDS = _pipeline.DEFERRED_FIELDS
+
+
+def _unpack_meta(packed, nchunks):
+    """Inverse of pipeline._pack_meta: ONE fetched int32 array [B, N] ->
+    the dict of small EncodeResult fields (the hostq entries return the
+    packed form so tunnel hosts pay one link round trip instead of ~40)."""
+    packed = np.asarray(packed)
+    out = {}
+    off = 0
+    segs_cols = 2 + 2 * nchunks
+    for name in _pipeline.EncodeResult._fields:
+        if name in _DEFERRED_FIELDS:
+            continue
+        k = segs_cols if name.startswith("segs_") else 1
+        v = np.ascontiguousarray(packed[:, off:off + k])
+        off += k
+        if name in _pipeline.META_F32:
+            v = v.view(np.float32)
+        elif name in _pipeline.META_BOOL:
+            v = v != 0
+        out[name] = v[:, 0] if k == 1 else v
+    if off != packed.shape[1]:
+        raise RuntimeError("packed metadata layout mismatch")
+    return out
 
 
 def pointwise_targets(frames: np.ndarray, eb: np.ndarray,
@@ -82,6 +105,40 @@ def pointwise_targets(frames: np.ndarray, eb: np.ndarray,
     t = eb.astype(np.float32) * np.float32(ratio)
     return np.maximum(t - slack[:, None, None],
                       t * np.float32(0.5)).astype(np.float32)
+
+
+def _scale_u16_host(frames: np.ndarray):
+    """Host-side u16 quantisation for the hostq encode entries.
+
+    The pipeline's first step is u16 scaling either way; doing it on the
+    host halves the host->device transfer (uint16 planes instead of f32).
+    Returns ``(u, mn, mx, maxq)``; the caller must tighten every error
+    target by ``maxq`` (the per-frame quantisation error) because the
+    device-side error reference becomes the u16-dequantised field — the
+    end-to-end bound on the original data then holds by the triangle
+    inequality (pipeline._hostq_prelude).
+
+    Native implementation when built (SIMD + threads, and the native CPU
+    encoder shares its exact maxq arithmetic — byte-identity across
+    backends); numpy mirror otherwise, with the fma emulated in float64
+    and maxq padded an extra ulp for the double rounding.
+    """
+    if _native.HAVE_NATIVE:
+        return _native.scale_u16_batch(frames)
+    mn = frames.min(axis=(-2, -1))
+    mx = frames.max(axis=(-2, -1))
+    rng = mx - mn
+    safe = np.where(rng > 0, rng, np.float32(1.0))
+    y = np.trunc(np.clip(
+        (frames - mn[:, None, None]) / safe[:, None, None]
+        * np.float32(65535.0), np.float32(0.0), np.float32(65535.0)))
+    c = (np.float32(1.0 / 65535.0) * rng).astype(np.float32)
+    dq = (y.astype(np.float64) * c.astype(np.float64)[:, None, None]
+          + mn.astype(np.float64)[:, None, None]).astype(np.float32)
+    maxq = np.abs(frames - dq).max(axis=(-2, -1)).astype(np.float32)
+    guard = np.ldexp(np.maximum(np.abs(mn), np.abs(mx)), -20)
+    return (y.astype(np.uint16), mn, mx,
+            (maxq + guard).astype(np.float32))
 
 
 def _zstd_compress(data: bytes, level: int) -> bytes:
@@ -309,6 +366,17 @@ def compress(data, config: EBCCConfig | None = None, *,
             # some frame keeps residual bits: its form must cross the link
             _start("resid")
 
+    def _fetch_small(rd):
+        """The small-field dict: from the packed-metadata array when the
+        hostq entry supplied one (ONE link transfer for ~40 fields), else
+        per-leaf device_get (the f32 / mesh-wrapped path)."""
+        meta = rd.get("_meta")
+        if meta is not None:
+            return _unpack_meta(meta, codec.base.spec.nchunks)
+        return jax.device_get({k: v for k, v in rd.items()
+                               if not k.startswith("_") and
+                               k not in _DEFERRED_FIELDS})
+
     def prime(entry):
         """Non-blocking cross-batch prefetch: once a pending batch's small
         fields are READY (compute done, values on host side of the link),
@@ -318,15 +386,17 @@ def compress(data, config: EBCCConfig | None = None, *,
         _, res, rd = entry
         if rd.get("_transfers_started") or "_resn" in rd:
             return
-        small = {k: v for k, v in rd.items()
-                 if not k.startswith("_") and k not in _DEFERRED_FIELDS}
+        meta = rd.get("_meta")
+        small = ({"_meta": meta} if meta is not None else
+                 {k: v for k, v in rd.items()
+                  if not k.startswith("_") and k not in _DEFERRED_FIELDS})
         try:
             if not all(getattr(v, "is_ready", lambda: True)()
                        for v in small.values()):
                 return
         except Exception:
             return
-        rd["_resn"] = jax.device_get(small)
+        rd["_resn"] = _fetch_small(rd)
         _start_transfers(rd, rd["_resn"])
 
     def drain(entry):
@@ -336,9 +406,7 @@ def compress(data, config: EBCCConfig | None = None, *,
         # layer from the flags and only that one is pulled over the link
         resn = rd.pop("_resn", None)
         if resn is None:
-            resn = jax.device_get({k: v for k, v in rd.items()
-                                   if not k.startswith("_") and
-                                   k not in _DEFERRED_FIELDS})
+            resn = _fetch_small(rd)
         _check_plane_budget(resn, config)
         _start_transfers(rd, resn)
         streams = _pack_streams(resn, codec, rd)
@@ -354,12 +422,18 @@ def compress(data, config: EBCCConfig | None = None, *,
     # already provide the useful overlap.
     drained = []  # per-batch frame lists, in order
 
+    # host-quantised dispatch: u16 planes cross the link instead of f32
+    # (half the bytes); targets are tightened by the quantisation error.
+    # Mesh-wrapped codecs without the hostq entries keep the f32 path.
+    use_hostq = hasattr(codec, "encode_error_bounded_hostq")
+
     for lo, hi in _batches(n, bsz):
         batch = frames[lo:hi]
         nb = batch.shape[0]
         if nb < bsz:  # pad to the static batch size
             batch = np.concatenate(
                 [batch, np.repeat(batch[-1:], bsz - nb, axis=0)], axis=0)
+        hq = _scale_u16_host(batch) if use_hostq else None
         if mode in (ResidualMode.MAX_ERROR, ResidualMode.RELATIVE_ERROR,
                     ResidualMode.POINTWISE_MAX_ERROR):
             if pointwise:
@@ -369,11 +443,22 @@ def compress(data, config: EBCCConfig | None = None, *,
                         [ebb, np.repeat(ebb[-1:], bsz - ebb.shape[0], 0)], 0)
                 target = ebb
             elif mode == ResidualMode.RELATIVE_ERROR:
-                rng = batch.max(axis=(-2, -1)) - batch.min(axis=(-2, -1))
+                if hq is not None:
+                    rng = hq[2] - hq[1]
+                else:
+                    rng = batch.max(axis=(-2, -1)) - batch.min(axis=(-2, -1))
                 target = (config.error * rng).astype(np.float32)
             else:
                 target = np.full(bsz, config.error, np.float32)
-            res = codec.encode_error_bounded(batch, target, qbase)
+            if hq is not None:
+                u, mnb, mxb, maxq = hq
+                target = target - (maxq if target.ndim == 1
+                                   else maxq[:, None, None])
+                res, meta = codec.encode_error_bounded_hostq(
+                    u, mnb, mxb, target, qbase)
+            else:
+                res = codec.encode_error_bounded(batch, target, qbase)
+                meta = None
         elif mode in (ResidualMode.NONE, ResidualMode.SPARSIFICATION_FACTOR):
             base_budget = np.full(bsz, int(32 * h * w / config.base_cr),
                                   np.int32)
@@ -382,20 +467,35 @@ def compress(data, config: EBCCConfig | None = None, *,
                                                 config.residual_cr), np.int32)
             else:
                 resid_budget = np.zeros(bsz, np.int32)
-            res = codec.encode_rate_targeted(batch, base_budget, resid_budget)
+            if hq is not None:
+                u, mnb, mxb, _ = hq
+                res, meta = codec.encode_rate_targeted_hostq(
+                    u, mnb, mxb, base_budget, resid_budget)
+            else:
+                res = codec.encode_rate_targeted(batch, base_budget,
+                                                 resid_budget)
+                meta = None
         else:
             raise ValueError(f"unsupported mode {mode}")
         # start device->host copies of the small fields now; the (large)
         # coefficient representation is fetched at drain time once the
         # flags pick the smallest valid form
-        for name, leaf in res._asdict().items():
-            if name in _DEFERRED_FIELDS:
-                continue
+        rd = res._asdict()
+        if meta is not None:
+            rd["_meta"] = meta  # ONE packed array instead of ~40 leaves
             try:
-                leaf.copy_to_host_async()
+                meta.copy_to_host_async()
             except (AttributeError, RuntimeError):
-                break
-        pending.append((hi - lo, res, res._asdict()))
+                pass
+        else:
+            for name, leaf in rd.items():
+                if name in _DEFERRED_FIELDS:
+                    continue
+                try:
+                    leaf.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    break
+        pending.append((hi - lo, res, rd))
         if len(pending) > config.prefetch_batches:
             entry = pending.pop(0)
             for e in pending:
@@ -479,12 +579,14 @@ def compress_multi_q(data, qs, config: EBCCConfig | None = None, *,
 
     out_frames = [[] for _ in qs]
     bsz = min(config.max_batch, n)
+    use_hostq = hasattr(codec, "encode_error_bounded_multi_hostq")
     for lo, hi in _batches(n, bsz):
         batch = frames[lo:hi]
         nb = batch.shape[0]
         if nb < bsz:
             batch = np.concatenate(
                 [batch, np.repeat(batch[-1:], bsz - nb, axis=0)], axis=0)
+        hq = _scale_u16_host(batch) if use_hostq else None
         if pointwise:
             ebb = eb_all[lo:hi]
             if ebb.shape[0] < bsz:
@@ -492,11 +594,21 @@ def compress_multi_q(data, qs, config: EBCCConfig | None = None, *,
                     [ebb, np.repeat(ebb[-1:], bsz - ebb.shape[0], 0)], 0)
             target = ebb
         elif mode == ResidualMode.RELATIVE_ERROR:
-            rng = batch.max(axis=(-2, -1)) - batch.min(axis=(-2, -1))
+            if hq is not None:
+                rng = hq[2] - hq[1]
+            else:
+                rng = batch.max(axis=(-2, -1)) - batch.min(axis=(-2, -1))
             target = (config.error * rng).astype(np.float32)
         else:
             target = np.full(bsz, config.error, np.float32)
-        res_list = codec.encode_error_bounded_multi(batch, target, qs)
+        if hq is not None:
+            u, mnb, mxb, maxq = hq
+            target = target - (maxq if target.ndim == 1
+                               else maxq[:, None, None])
+            res_list = codec.encode_error_bounded_multi_hostq(
+                u, mnb, mxb, target, qs)
+        else:
+            res_list = codec.encode_error_bounded_multi(batch, target, qs)
         rd0 = res_list[0]._asdict()
         # ONE host sync fetches the shared base-layer fields and every
         # candidate's small per-q fields together (each synchronous fetch

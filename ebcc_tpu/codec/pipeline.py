@@ -141,6 +141,23 @@ class EncodeResult(NamedTuple):
     resid_sparse_ok: jax.Array  # bool [B]
 
 
+# EncodeResult fields whose device->host fetch api.compress defers until
+# the small flags pick the cheapest coefficient representation (sparse /
+# u8 / u16 / exact f32); everything else is "small" metadata.
+DEFERRED_FIELDS = (
+    "base_coef", "resid_coef",
+    "base_pack16", "resid_pack16", "base_pack8", "resid_pack8",
+    "base_sp_delta", "base_sp_val", "resid_sp_delta", "resid_sp_val")
+
+# dtype map of the small fields for the packed-metadata transfer
+# (_pack_meta / api._unpack_meta); i32 otherwise
+META_F32 = ("mn", "mx", "dc_b", "rmin", "rmax", "dc_r")
+META_BOOL = ("const", "base_feasible_pure", "resid_feasible",
+             "skip_residual", "base_pack16_ok", "resid_pack16_ok",
+             "base_pack8_ok", "resid_pack8_ok", "base_sparse_ok",
+             "resid_sparse_ok")
+
+
 class FrameCodec:
     """Codec specialised to one frame geometry (H, W) and config."""
 
@@ -160,6 +177,10 @@ class FrameCodec:
         self._encode_eb = jax.jit(self._encode_error_bounded)
         self._encode_eb_multi = jax.jit(self._encode_error_bounded_multi)
         self._encode_rate = jax.jit(self._encode_rate_targeted)
+        self._encode_eb_hostq = jax.jit(self._encode_error_bounded_hostq)
+        self._encode_eb_multi_hostq = jax.jit(
+            self._encode_error_bounded_multi_hostq)
+        self._encode_rate_hostq = jax.jit(self._encode_rate_targeted_hostq)
         self._decode = jax.jit(self._decode_stage)
         self._recon = jax.jit(self._recon_stage)
         self._recon_packed = jax.jit(self._recon_packed_stage)
@@ -174,15 +195,63 @@ class FrameCodec:
     def _idwt(self, x, geom: LayerGeom):
         return dwt.idwt2d_multi(x, geom.levels)
 
+    def _base_transform_scaled(self, uf):
+        """Pad/DC/DWT/quantise a pre-scaled u16 plane (float32 holding
+        integers in [0, 65535])."""
+        up = frame.pad_symmetric(uf, self.base.levels)
+        upc, dc = frame.sub_dc_floor(up)
+        coef = self._dwt(upc, self.base)
+        ci = jnp.trunc(coef * self.wb).astype(jnp.int32)
+        return dc, ci
+
     def _base_transform(self, data):
         mn, mx = frame.minmax(data)
         const = mn == mx
         u = frame.scale_to_u16(data, mn, mx)
-        up = frame.pad_symmetric(u, self.base.levels)
-        upc, dc = frame.sub_dc_floor(up)
-        coef = self._dwt(upc, self.base)
-        ci = jnp.trunc(coef * self.wb).astype(jnp.int32)
+        dc, ci = self._base_transform_scaled(u)
         return mn, mx, const, dc, ci
+
+    def _pack_meta(self, res: EncodeResult):
+        """All small (non-deferred) EncodeResult fields bit-packed into ONE
+        int32 array [B, N].
+
+        On tunnel-attached hosts every device->host array fetch costs a
+        full link round trip; fetching ~40 per-frame scalars individually
+        dominates the encode wall (measured ~1 s per 8-frame batch).  The
+        hostq entries return this alongside the result so api.compress
+        pulls the metadata in a single transfer (api._unpack_meta is the
+        inverse; META_F32/META_BOOL define the reinterpretation).
+        """
+        cols = []
+        for name in EncodeResult._fields:
+            if name in DEFERRED_FIELDS:
+                continue
+            v = getattr(res, name)
+            v = v.reshape(v.shape[0], -1)
+            if v.dtype == jnp.bool_:
+                v = v.astype(jnp.int32)
+            elif v.dtype == jnp.float32:
+                v = jax.lax.bitcast_convert_type(v, jnp.int32)
+            else:
+                v = v.astype(jnp.int32)
+            cols.append(v)
+        return jnp.concatenate(cols, axis=1)
+
+    def _hostq_prelude(self, u, mn, mx):
+        """Shared front of the hostq entries: u16 plane -> (error
+        reference, const flag, dc, quantised coefficients).
+
+        The error reference is the u16-DEQUANTISED field (what the decoder
+        can reproduce at best), not the original data — the host quantised
+        before upload (api._scale_u16_host) and tightened the error
+        targets by the per-frame quantisation error, so the end-to-end
+        bound on the ORIGINAL data still holds by the triangle
+        inequality."""
+        uf = u.astype(jnp.float32)
+        dataq = frame.unscale_from_u16(uf, mn, mx)
+        const = mn == mx
+        dc, ci = self._base_transform_scaled(uf)
+        return dataq, const, dc, ci
 
     def _base_recon(self, rec_coef, mn, mx, dc):
         c = rec_coef / self.wb
@@ -444,6 +513,23 @@ class FrameCodec:
         Implements the search + fallback logic of j2k_codec.h:562-695.
         """
         mn, mx, const, dc, ci = self._base_transform(data)
+        return self._eb_core(data, mn, mx, const, dc, ci, target, qbase)
+
+    def _encode_error_bounded_hostq(self, u, mn, mx, target, qbase):
+        """Error-bounded encode from host-quantised input.
+
+        ``u``: uint16 [B, H, W] (api._scale_u16_host output), ``mn``/``mx``
+        the host-computed per-frame ranges.  Halves api.compress's
+        host->device transfer relative to :meth:`_encode_error_bounded`
+        (the pipeline's first step is u16 quantisation either way).
+        ``target`` must already be tightened by the per-frame quantisation
+        error — see :meth:`_hostq_prelude`.
+        """
+        dataq, const, dc, ci = self._hostq_prelude(u, mn, mx)
+        res = self._eb_core(dataq, mn, mx, const, dc, ci, target, qbase)
+        return res, self._pack_meta(res)
+
+    def _eb_core(self, data_ref, mn, mx, const, dc, ci, target, qbase):
         an_b = bp.analyze(ci, self.base.spec)
 
         def recon_b(rc):
@@ -452,17 +538,17 @@ class FrameCodec:
         counts_b = self._counts(an_b, self.base)
         cand_b = bp.candidate_bits(counts_b, self.base.spec)
         bits_q, feas_q, maxd_q, bs_q, ks_q = self._search_truncation(
-            an_b, self.base, recon_b, data, target, qbase, cand=cand_b)
+            an_b, self.base, recon_b, data_ref, target, qbase, cand=cand_b)
         # pure fallback: same embedded stream, quantile target 1.0
         # (j2k_codec.h:668-695) — just another prefix of the same arena.
         bits_pure, feas_pure, _, bs_pure, ks_pure = self._search_truncation(
-            an_b, self.base, recon_b, data, target, jnp.float32(0.0),
+            an_b, self.base, recon_b, data_ref, target, jnp.float32(0.0),
             cand=cand_b)
         use_mq, km_q, mbits_q, maxd_qm, drop_q, segs_q = self._search_mask(
-            an_b, self.base, recon_b, data, target, qbase, bs_q, bits_q,
+            an_b, self.base, recon_b, data_ref, target, qbase, bs_q, bits_q,
             feas_q, counts_b)
         _, km_pure, mbits_pure, _, _, segs_pure = self._search_mask(
-            an_b, self.base, recon_b, data, target, jnp.float32(0.0),
+            an_b, self.base, recon_b, data_ref, target, jnp.float32(0.0),
             bs_pure, bits_pure, feas_pure, counts_b)
 
         # the decoder's view of the base layer is the MASKED reconstruction
@@ -474,7 +560,7 @@ class FrameCodec:
                                                self.base.spec), coef_q)
             maxd_q = jnp.where(use_mq, maxd_qm, maxd_q)
         base_rec = recon_b(coef_q)
-        resid = data - base_rec
+        resid = data_ref - base_rec
         skip_residual = maxd_q <= 0  # "Skip Residual 1" (j2k_codec.h:584)
 
         rmin, rmax, dcr, cir = self._resid_transform(resid)
@@ -485,10 +571,10 @@ class FrameCodec:
 
         counts_r = self._counts(an_r, self.resid)
         resid_bits, resid_feas, _, bs_r, ks_r = self._search_truncation(
-            an_r, self.resid, recon_r, data, target, jnp.float32(0.0),
+            an_r, self.resid, recon_r, data_ref, target, jnp.float32(0.0),
             cand=bp.candidate_bits(counts_r, self.resid.spec))
         _, km_r, mbits_r, _, _, segs_r = self._search_mask(
-            an_r, self.resid, recon_r, data, target, jnp.float32(0.0),
+            an_r, self.resid, recon_r, data_ref, target, jnp.float32(0.0),
             bs_r, resid_bits, resid_feas, counts_r)
 
         pb16, pb8, sb16, sb8, okb16, okb8 = self._pack_small(
@@ -540,6 +626,15 @@ class FrameCodec:
         (image_compression.py:499-567).
         """
         mn, mx, const, dc, ci = self._base_transform(data)
+        return self._eb_multi_core(data, mn, mx, const, dc, ci, target, qs)
+
+    def _encode_error_bounded_multi_hostq(self, u, mn, mx, target, qs):
+        """Multi-quantile encode from host-quantised input (see
+        :meth:`_encode_error_bounded_hostq` for the u16/target contract)."""
+        dataq, const, dc, ci = self._hostq_prelude(u, mn, mx)
+        return self._eb_multi_core(dataq, mn, mx, const, dc, ci, target, qs)
+
+    def _eb_multi_core(self, data_ref, mn, mx, const, dc, ci, target, qs):
         an_b = bp.analyze(ci, self.base.spec)
 
         def recon_b(rc):
@@ -548,19 +643,19 @@ class FrameCodec:
         counts_b = self._counts(an_b, self.base)
         cand_b = bp.candidate_bits(counts_b, self.base.spec)
         bits_pure, feas_pure, _, bs_pure, ks_pure = self._search_truncation(
-            an_b, self.base, recon_b, data, target, jnp.float32(0.0),
+            an_b, self.base, recon_b, data_ref, target, jnp.float32(0.0),
             cand=cand_b)
         _, km_pure, mbits_pure, _, _, segs_pure = self._search_mask(
-            an_b, self.base, recon_b, data, target, jnp.float32(0.0),
+            an_b, self.base, recon_b, data_ref, target, jnp.float32(0.0),
             bs_pure, bits_pure, feas_pure, counts_b)
 
         per_q = []
         bs_min = bs_pure
         for k in range(qs.shape[0]):
             bits_q, feas_q, maxd_q, bs_q, ks_q = self._search_truncation(
-                an_b, self.base, recon_b, data, target, qs[k], cand=cand_b)
+                an_b, self.base, recon_b, data_ref, target, qs[k], cand=cand_b)
             use_mq, km_q, mbits_q, maxd_qm, drop_q, segs_q = \
-                self._search_mask(an_b, self.base, recon_b, data, target,
+                self._search_mask(an_b, self.base, recon_b, data_ref, target,
                                   qs[k], bs_q, bits_q, feas_q, counts_b)
             coef_q = self._recon_at(an_b, self.base, bs_q, ks_q)
             if self._mask_enabled(self.base):
@@ -569,7 +664,7 @@ class FrameCodec:
                                                    self.base.spec), coef_q)
                 maxd_q = jnp.where(use_mq, maxd_qm, maxd_q)
             base_rec = recon_b(coef_q)
-            resid = data - base_rec
+            resid = data_ref - base_rec
             skip_residual = maxd_q <= 0
             rmin, rmax, dcr, cir = self._resid_transform(resid)
             an_r = bp.analyze(cir, self.resid.spec)
@@ -579,10 +674,10 @@ class FrameCodec:
 
             counts_r = self._counts(an_r, self.resid)
             resid_bits, resid_feas, _, bs_r, ks_r = self._search_truncation(
-                an_r, self.resid, recon_r, data, target, jnp.float32(0.0),
+                an_r, self.resid, recon_r, data_ref, target, jnp.float32(0.0),
                 cand=bp.candidate_bits(counts_r, self.resid.spec))
             _, km_r, mbits_r, _, _, segs_r = self._search_mask(
-                an_r, self.resid, recon_r, data, target, jnp.float32(0.0),
+                an_r, self.resid, recon_r, data_ref, target, jnp.float32(0.0),
                 bs_r, resid_bits, resid_feas, counts_r)
             pr16, pr8, sr16, sr8, okr16, okr8 = self._pack_small(
                 cir, an_r.max_step,
@@ -625,6 +720,21 @@ class FrameCodec:
         ``resid_budget_bits <= 0`` disables the residual layer (NONE mode).
         """
         mn, mx, const, dc, ci = self._base_transform(data)
+        return self._rate_core(data, mn, mx, const, dc, ci,
+                               base_budget_bits, resid_budget_bits)
+
+    def _encode_rate_targeted_hostq(self, u, mn, mx, base_budget_bits,
+                                    resid_budget_bits):
+        """Rate-targeted encode from host-quantised input (no error
+        criterion, so no target tightening is needed — the u16 transfer
+        form is exact for the pipeline's own quantisation)."""
+        dataq, const, dc, ci = self._hostq_prelude(u, mn, mx)
+        res = self._rate_core(dataq, mn, mx, const, dc, ci,
+                              base_budget_bits, resid_budget_bits)
+        return res, self._pack_meta(res)
+
+    def _rate_core(self, data_ref, mn, mx, const, dc, ci,
+                   base_budget_bits, resid_budget_bits):
         an_b = bp.analyze(ci, self.base.spec)
         counts = self._counts(an_b, self.base)
         cand = bp.candidate_bits(counts, self.base.spec)
@@ -639,7 +749,7 @@ class FrameCodec:
 
         base_rec = self._base_recon(self._recon_at(an_b, self.base, bs, ks),
                                     mn, mx, dc)
-        resid = data - base_rec
+        resid = data_ref - base_rec
         rmin, rmax, dcr, cir = self._resid_transform(resid)
         an_r = bp.analyze(cir, self.resid.spec)
         counts_r = self._counts(an_r, self.resid)
@@ -665,7 +775,7 @@ class FrameCodec:
 
         # rate-targeted modes have no error criterion to mask against:
         # streams stay pure prefixes (km = -1)
-        nb = data.shape[0]
+        nb = mn.shape[0]
         noseg = jnp.zeros((nb, 2 + 2 * self.base.spec.nchunks), jnp.int32)
         nokm = jnp.full(nb, -1, jnp.int32)
         return EncodeResult(
@@ -752,6 +862,20 @@ class FrameCodec:
 
     def encode_rate_targeted(self, data, base_budget_bits, resid_budget_bits):
         return self._encode_rate(data, base_budget_bits, resid_budget_bits)
+
+    def encode_error_bounded_hostq(self, u, mn, mx, target, qbase):
+        """Host-quantised entry: u16 frames + host ranges + pre-tightened
+        targets (see :meth:`_encode_error_bounded_hostq`)."""
+        return self._encode_eb_hostq(u, mn, mx, target, jnp.float32(qbase))
+
+    def encode_error_bounded_multi_hostq(self, u, mn, mx, target, qs):
+        return self._encode_eb_multi_hostq(u, mn, mx, target,
+                                           jnp.asarray(qs, jnp.float32))
+
+    def encode_rate_targeted_hostq(self, u, mn, mx, base_budget_bits,
+                                   resid_budget_bits):
+        return self._encode_rate_hostq(u, mn, mx, base_budget_bits,
+                                       resid_budget_bits)
 
     def decode(self, *args):
         """Decode from packed word buffers (pure-JAX path)."""

@@ -132,6 +132,35 @@ def zstd_decompress_batch(bufs: list[bytes], max_sizes: list[int]
     return out
 
 
+def scale_u16_batch(frames: np.ndarray):
+    """Host-side u16 quantisation for the device hostq encode
+    (native/ebcc_cpu_encoder.cc ebcc_scale_u16_batch).
+
+    Returns ``(u, mn, mx, maxq)``: the uint16 planes, per-frame ranges and
+    per-frame quantisation-error bounds ``max |frames - dequantise(u)|``
+    (padded by a few ulps for cross-backend fma drift).  The native CPU
+    encoder computes maxq with the same code, which is what keeps device
+    and CPU containers byte-identical under the tightened targets.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    frames = np.ascontiguousarray(frames, np.float32)
+    n, h, w = frames.shape
+    u = np.empty((n, h, w), np.uint16)
+    mn = np.empty(n, np.float32)
+    mx = np.empty(n, np.float32)
+    maxq = np.empty(n, np.float32)
+    lib.ebcc_scale_u16_batch(
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int(n), ctypes.c_int(h), ctypes.c_int(w),
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        mn.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mx.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        maxq.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return u, mn, mx, maxq
+
+
 def words_to_bytes_batch(words: np.ndarray, nbits: np.ndarray) -> list[bytes]:
     """[n, nwords] u32 (native endian) + per-frame bit counts -> trimmed
     big-endian byte streams."""

@@ -37,6 +37,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -222,6 +223,33 @@ std::vector<float> scale_u16(const float* data, size_t n, float mn,
     u[i] = truncf(std::min(std::max(y, 0.0f), U16_MAX));
   }
   return u;
+}
+
+// u16 scaling + dequantised error reference + per-frame quantisation
+// error, shared by the in-process encoder below and the exported batch
+// helper (api._scale_u16_host) — both sides MUST produce the same maxq or
+// device/CPU containers drift apart (tests/test_cpu_encoder.py).
+// dq[i] = fma(y, RECIP_U16 * rng, mn) is the arithmetic XLA compiles for
+// frame.unscale_from_u16, the device pipeline's hostq error reference
+// (pipeline._hostq_prelude).  The returned maxq is padded by 4 ulps of
+// the largest frame magnitude so ulp-level fma-association differences
+// between XLA targets cannot push the true error past the user bound.
+float scale_u16_ref(const float* data, size_t n, float mn, float rng,
+                    float* uf_out, float* dq_out, uint16_t* u16_out) {
+  const float safe = rng > 0.0f ? rng : 1.0f;
+  const float unscale_c = RECIP_U16 * rng;
+  float maxq = 0.0f;
+  for (size_t i = 0; i < n; ++i) {
+    float y = (data[i] - mn) / safe * U16_MAX;
+    y = truncf(std::min(std::max(y, 0.0f), U16_MAX));
+    if (uf_out) uf_out[i] = y;
+    if (u16_out) u16_out[i] = (uint16_t)y;
+    float dq = std::fma(y, unscale_c, mn);
+    if (dq_out) dq_out[i] = dq;
+    maxq = std::max(maxq, std::fabs(data[i] - dq));
+  }
+  float mag = std::max(std::fabs(mn), std::fabs(mn + rng));
+  return maxq + std::ldexp(mag, -21);
 }
 
 int msb_of(uint32_t v) { return v ? 31 - __builtin_clz(v) : -1; }
@@ -950,8 +978,17 @@ int64_t ebcc_cpu_encode_frame(
   }
 
   // ---- base layer transform ----
+  // The error reference is the u16-DEQUANTISED field and every target is
+  // tightened by the frame's quantisation error maxq — mirroring the
+  // device hostq path (pipeline._hostq_prelude + api._scale_u16_host),
+  // whose error scans can only see the dequantised field (the original
+  // f32 frames never cross the host->device link).  The end-to-end bound
+  // on the ORIGINAL data holds by the triangle inequality:
+  // |x - dec| <= |x - dataq| + |dataq - dec| <= maxq + (target - maxq).
   float rng = mx - mn;
-  std::vector<float> u16 = scale_u16(data, n, mn, rng);
+  std::vector<float> u16(n), dataq(n);
+  const float maxq = scale_u16_ref(data, n, mn, rng, u16.data(),
+                                   dataq.data(), nullptr);
   LayerEnc base;
   base.init(h, w, base_levels, base_nplanes, nchunks);
   float dc_b = base.transform(u16.data(), h, w);
@@ -963,10 +1000,13 @@ int64_t ebcc_cpu_encode_frame(
   std::vector<float> coef_buf((size_t)base.h * base.w);
   std::vector<float> rec_buf((size_t)base.h * base.w);
 
-  // per-point target (pointwise) or scalar target
+  // per-point target (pointwise) or scalar target, tightened by the
+  // quantisation error (api.compress applies the identical f32
+  // subtraction to the targets it ships to the device)
   auto target_at = [&](size_t i) -> float {
-    return pointwise ? target_pw[i]
-                     : (mode == MODE_REL_ERR ? error * rng : error);
+    return (pointwise ? target_pw[i]
+                      : (mode == MODE_REL_ERR ? error * rng : error)) -
+           maxq;
   };
 
   // Largest violation count still feasible under quantile qa — the scan
@@ -1003,7 +1043,7 @@ int64_t ebcc_cpu_encode_frame(
             std::max(coef_buf[(size_t)r * base.w + c] + dc_b, 0.0f),
             U16_MAX);
         float rec = std::fma(y, unscale_c, mn);
-        float e = std::fabs(data[i] - rec) - target_at(i);
+        float e = std::fabs(dataq[i] - rec) - target_at(i);
         maxd = std::max(maxd, e);
         if (e > 0.0f) ++nv;
       }
@@ -1051,7 +1091,7 @@ int64_t ebcc_cpu_encode_frame(
     base_rec_at(base, q.bstar, q.kstar, dc_b, mn, unscale_c, h, w,
                 coef_buf.data(), rec_buf.data(), base_rec.data(),
                 mq.use, mq.use ? (((1u << base.J) - 1) & ~mq.keep) : 0);
-    rset = make_resid_layer(resid, data, base_rec.data(), h, w,
+    rset = make_resid_layer(resid, dataq.data(), base_rec.data(), h, w,
                             resid_levels, resid_nplanes, nchunks);
     if (resid.max_step > resid.P - 1) return -3;
 
@@ -1069,7 +1109,7 @@ int64_t ebcc_cpu_encode_frame(
               std::max(rcoef[(size_t)r * resid.w + c] + rset.dc_r, 0.0f),
               RESID_SCALE);
           float rec = base_rec[i] + std::fma(y, rc0, rset.rmn);
-          float e = std::fabs(data[i] - rec) - target_at(i);
+          float e = std::fabs(dataq[i] - rec) - target_at(i);
           maxd = std::max(maxd, e);
           if (e > 0.0f) ++nv;
         }
@@ -1126,7 +1166,7 @@ int64_t ebcc_cpu_encode_frame(
       base_rec.resize(n);
       base_rec_at(base, q.bstar, q.kstar, dc_b, mn, unscale_c, h, w,
                   coef_buf.data(), rec_buf.data(), base_rec.data());
-      rset = make_resid_layer(resid, data, base_rec.data(), h, w,
+      rset = make_resid_layer(resid, dataq.data(), base_rec.data(), h, w,
                               resid_levels, resid_nplanes, nchunks);
       if (resid.max_step > resid.P - 1) return -3;
       SearchResult rq;
@@ -1203,6 +1243,43 @@ int64_t ebcc_cpu_encode_frame(
   if ((int64_t)chosen->size() > out_cap) return -2;
   memcpy(out, chosen->data(), chosen->size());
   return (int64_t)chosen->size();
+}
+
+// Host-side u16 quantisation of a frame batch for the device hostq encode
+// (api._scale_u16_host): per frame writes the uint16 plane and returns
+// (mn, mx, maxq), where maxq bounds |data - dequantise(u)| via the SAME
+// arithmetic (scale_u16_ref) the in-process encoder above uses — keeping
+// device and CPU containers byte-identical.  Threaded per frame.
+void ebcc_scale_u16_batch(const float* data, int nframes, int h, int w,
+                          uint16_t* u_out, float* mn_out, float* mx_out,
+                          float* maxq_out) {
+  const size_t n = (size_t)h * w;
+  auto work = [&](int f) {
+    const float* d = data + (size_t)f * n;
+    float mn = d[0], mx = d[0];
+    for (size_t i = 0; i < n; ++i) {
+      mn = std::min(mn, d[i]);
+      mx = std::max(mx, d[i]);
+    }
+    mn_out[f] = mn;
+    mx_out[f] = mx;
+    maxq_out[f] = scale_u16_ref(d, n, mn, mx - mn, nullptr, nullptr,
+                                u_out + (size_t)f * n);
+  };
+  int nt = (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > nframes) nt = nframes;
+  if (nt <= 1) {
+    for (int f = 0; f < nframes; ++f) work(f);
+    return;
+  }
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  for (int t = 0; t < nt; ++t)
+    ts.emplace_back([&, t]() {
+      for (int f = t; f < nframes; f += nt) work(f);
+    });
+  for (auto& th : ts) th.join();
 }
 
 }  // extern "C"

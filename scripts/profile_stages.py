@@ -45,20 +45,26 @@ def main():
 
     t = {}
 
-    # warmup
-    res = codec.encode_error_bounded(data, target, 1e-6)
-    jax.block_until_ready(res)
+    # warmup (hostq path: what api.compress dispatches)
+    u, mnb, mxb, maxq = api._scale_u16_host(data)
+    res, meta = codec.encode_error_bounded_hostq(u, mnb, mxb, target - maxq,
+                                                 1e-6)
+    jax.block_until_ready((res, meta))
 
     t0 = time.perf_counter()
-    res = codec.encode_error_bounded(data, target, 1e-6)
-    jax.block_until_ready(res)
+    u, mnb, mxb, maxq = api._scale_u16_host(data)
+    t["0_host_scale_u16"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    res, meta = codec.encode_error_bounded_hostq(u, mnb, mxb, target - maxq,
+                                                 1e-6)
+    jax.block_until_ready((res, meta))
     t["1_device_encode_search"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     # mirror api.compress: large coefficient forms fetched lazily
     rd = res._asdict()
-    resn = {k: np.asarray(v) for k, v in rd.items()
-            if k not in api._DEFERRED_FIELDS}
+    resn = api._unpack_meta(meta, codec.base.spec.nchunks)
     t["2_device_to_host_transfer_small"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -82,8 +88,10 @@ def main():
     metas = [container.unpack_frame(f) for f in container.unpack_blob(full)]
 
     bspec, rspec = codec.base.spec, codec.resid.spec
-    base_streams = [m[1] or m[2] for m in metas]  # placeholder
-    base_streams = [m[2] for m in metas]
+    base_streams = [
+        native.zstd_decompress_batch([m[2]],
+                                     [(m[0].base_nbits + 7) // 8])[0]
+        if m[0].flags & container.FLAG_BASE_Z else m[2] for m in metas]
     bb = np.array([m[0].base_nbits for m in metas], np.int64)
     ms = np.array([m[0].max_step_b for m in metas], np.int32)
 

@@ -88,11 +88,14 @@ class TestCpuEncoder:
             f_n = container.unpack_frame(container.unpack_blob(blob)[0])
             f_j = container.unpack_frame(container.unpack_blob(blob_jax)[0])
             hn, hj = f_n[0], f_j[0]
-            assert (hn.base_nbits, hn.resid_nbits, hn.flags) == \
-                (hj.base_nbits, hj.resid_nbits, hj.flags)
+            assert (hn.base_nbits, hn.flags) == (hj.base_nbits, hj.flags)
             if mode == ResidualMode.NONE:
                 assert blob == blob_jax  # no residual -> fully identical
             else:
+                # the sparsification residual embeds raw base-recon values
+                # (ulp-drifting, see docstring): its budget-table pick can
+                # land a few bits apart between the two backends
+                assert abs(hn.resid_nbits - hj.resid_nbits) <= 64
                 assert abs(len(blob) - len(blob_jax)) <= 64
             rec = cpu_decoder.decompress(blob)[0]
             assert rec.shape == small_frame.shape
