@@ -605,19 +605,36 @@ def compress_multi_q(data, qs, config: EBCCConfig | None = None, *,
             u, mnb, mxb, maxq = hq
             target = target - (maxq if target.ndim == 1
                                else maxq[:, None, None])
-            res_list = codec.encode_error_bounded_multi_hostq(
+            res_list, metas = codec.encode_error_bounded_multi_hostq(
                 u, mnb, mxb, target, qs)
         else:
             res_list = codec.encode_error_bounded_multi(batch, target, qs)
+            metas = None
         rd0 = res_list[0]._asdict()
-        # ONE host sync fetches the shared base-layer fields and every
-        # candidate's small per-q fields together (each synchronous fetch
-        # costs a full link round trip on tunnelled hosts)
-        shared, perq_all = jax.device_get((
-            {k: v for k, v in rd0.items()
-             if k not in _DEFERRED_FIELDS and k not in _PER_Q_FIELDS},
-            [{f: r._asdict()[f] for f in _PER_Q_FIELDS
-              if f not in _DEFERRED_FIELDS} for r in res_list]))
+        if metas is not None:
+            for m in metas:  # start the d2h copies while compute drains
+                try:
+                    m.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    break
+            # K packed-metadata transfers (one per candidate, each also
+            # carrying the shared base-layer fields) instead of
+            # ~40 + 29K individual leaf fetches over the link
+            dicts = [_unpack_meta(m, codec.base.spec.nchunks)
+                     for m in metas]
+            shared = {k: v for k, v in dicts[0].items()
+                      if k not in _PER_Q_FIELDS}
+            perq_all = [{f: d[f] for f in _PER_Q_FIELDS
+                         if f not in _DEFERRED_FIELDS} for d in dicts]
+        else:
+            # ONE host sync fetches the shared base-layer fields and every
+            # candidate's small per-q fields together (each synchronous
+            # fetch costs a full link round trip on tunnelled hosts)
+            shared, perq_all = jax.device_get((
+                {k: v for k, v in rd0.items()
+                 if k not in _DEFERRED_FIELDS and k not in _PER_Q_FIELDS},
+                [{f: r._asdict()[f] for f in _PER_Q_FIELDS
+                  if f not in _DEFERRED_FIELDS} for r in res_list]))
         for pq in perq_all:
             _check_plane_budget(dict(shared, **pq), config)
         # one base arena serves every candidate's truncation (embedded

@@ -630,9 +630,16 @@ class FrameCodec:
 
     def _encode_error_bounded_multi_hostq(self, u, mn, mx, target, qs):
         """Multi-quantile encode from host-quantised input (see
-        :meth:`_encode_error_bounded_hostq` for the u16/target contract)."""
+        :meth:`_encode_error_bounded_hostq` for the u16/target contract).
+
+        Returns (results, packed): one packed-metadata array per candidate
+        (each also carries the shared base-layer fields — candidates share
+        those device buffers, so the duplication is K small transfers
+        replacing ~40 + 29K individual leaf fetches)."""
         dataq, const, dc, ci = self._hostq_prelude(u, mn, mx)
-        return self._eb_multi_core(dataq, mn, mx, const, dc, ci, target, qs)
+        res_list = self._eb_multi_core(dataq, mn, mx, const, dc, ci,
+                                       target, qs)
+        return res_list, [self._pack_meta(r) for r in res_list]
 
     def _eb_multi_core(self, data_ref, mn, mx, const, dc, ci, target, qs):
         an_b = bp.analyze(ci, self.base.spec)
