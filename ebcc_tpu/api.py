@@ -39,6 +39,24 @@ from .runtime import native as _native
 # residual streams smaller than this are dropped (j2k_codec.h:653)
 MIN_RESID_BYTES = 16
 
+# Early pure-base decision margin (_decide_pure): the pure variant is
+# selected WITHOUT packing the residual layer when its extra base bits are
+# <= NUM/DEN of the residual stream bits.  zstd on the near-random bitplane
+# residual streams measures 1.0-1.3x; 2.5x (= DEN/NUM) is far beyond it, so
+# whenever the rule fires the exact post-zstd comparison would have picked
+# pure too.  Part of the container selection rule — mirrored bit-for-bit by
+# native/ebcc_cpu_encoder.cc (decide_pure) to keep backends byte-identical.
+PURE_DECIDE_NUM = 2
+PURE_DECIDE_DEN = 5
+
+# Tier-0 of the same rule: when the pure variant's extra base bits cannot
+# pay for even the residual part's fixed container overhead (~24 B header
+# + minimum zstd frame for a >MIN_RESID_BYTES payload), pure wins no matter
+# what the residual stream compresses to.  This tier needs NO residual
+# quantities at all, so the native encoder skips building/searching the
+# residual layer entirely for such frames.
+TIER0_MAX_EXTRA_BITS = 128
+
 # EncodeResult fields whose device->host fetch is deferred until the small
 # flags decide which representation (sparse / u8 / u16 / exact f32) is
 # needed.  The coefficient forms — including the typical sparse pairs —
@@ -362,7 +380,8 @@ def compress(data, config: EBCCConfig | None = None, *,
                 pass
 
         _start("base")
-        if not np.all(resn["const"] | resn["skip_residual"]):
+        if not np.all(resn["const"] | resn["skip_residual"] |
+                      resn["decided_pure"]):
             # some frame keeps residual bits: its form must cross the link
             _start("resid")
 
@@ -372,10 +391,13 @@ def compress(data, config: EBCCConfig | None = None, *,
         per-leaf device_get (the f32 / mesh-wrapped path)."""
         meta = rd.get("_meta")
         if meta is not None:
-            return _unpack_meta(meta, codec.base.spec.nchunks)
-        return jax.device_get({k: v for k, v in rd.items()
-                               if not k.startswith("_") and
-                               k not in _DEFERRED_FIELDS})
+            resn = _unpack_meta(meta, codec.base.spec.nchunks)
+        else:
+            resn = jax.device_get({k: v for k, v in rd.items()
+                                   if not k.startswith("_") and
+                                   k not in _DEFERRED_FIELDS})
+        resn["decided_pure"] = _decide_pure(resn, mode)
+        return resn
 
     def prime(entry):
         """Non-blocking cross-batch prefetch: once a pending batch's small
@@ -635,21 +657,30 @@ def compress_multi_q(data, qs, config: EBCCConfig | None = None, *,
                  if k not in _DEFERRED_FIELDS and k not in _PER_Q_FIELDS},
                 [{f: r._asdict()[f] for f in _PER_Q_FIELDS
                   if f not in _DEFERRED_FIELDS} for r in res_list]))
+        resn_all = []
         for pq in perq_all:
-            _check_plane_budget(dict(shared, **pq), config)
+            resn = dict(shared, **pq)
+            resn["decided_pure"] = _decide_pure(resn, mode)
+            _check_plane_budget(resn, config)
+            resn_all.append(resn)
         # one base arena serves every candidate's truncation (embedded
         # streams: all candidate rates are prefixes; masked selections
-        # splice out of the same arena, needing their plane's end)
+        # splice out of the same arena, needing their plane's end).
+        # Decided-pure (candidate, frame) pairs emit only the pure variant,
+        # so their q-selection need not be covered.
+        arena_pure = _arena_bits(shared, "pure", shared["base_bits_pure"])
         trunc_b = np.maximum.reduce(
-            [_arena_bits(pq, "q", pq["base_bits_q"]) for pq in perq_all])
-        trunc_b = np.maximum(trunc_b, _arena_bits(
-            shared, "pure", shared["base_bits_pure"]))
+            [np.where(resn["decided_pure"], 0,
+                      _arena_bits(resn, "q", resn["base_bits_q"]))
+             for resn in resn_all])
+        trunc_b = np.maximum(trunc_b, arena_pure)
         base_stream = _pack_layer_streams(shared, codec, rd0, "base",
                                           trunc_b)
         for k, res in enumerate(res_list):
             rd = res._asdict()
-            resn = dict(shared, **perq_all[k])
-            trunc_r = np.where(resn["skip_residual"], 0,
+            resn = resn_all[k]
+            trunc_r = np.where(resn["skip_residual"] | resn["decided_pure"],
+                               0,
                                _arena_bits(resn, "r", resn["resid_bits"]))
             resid_stream = _pack_layer_streams(resn, codec, rd, "resid",
                                                trunc_r)
@@ -661,13 +692,64 @@ def compress_multi_q(data, qs, config: EBCCConfig | None = None, *,
     return [container.pack_blob(f) for f in out_frames]
 
 
+def _decide_pure(res, mode) -> np.ndarray:
+    """Frames whose pure-base variant is selected WITHOUT building the
+    base+residual candidate (bool [B]).
+
+    Two tiers, evaluated from the small fields alone (before any residual
+    coefficient fetch / arena pack / zstd):
+
+    * pure is *required*: the residual stream would be dropped (fewer than
+      MIN_RESID_BYTES) or is infeasible — _assemble_frame's pure_required
+      arm would win unconditionally.
+    * pure *certainly wins the size comparison*: feasible, and its extra
+      base bits cost at most PURE_DECIDE_NUM/DEN of the residual stream's
+      raw bits (see the constants above for why that margin is safe).
+
+    This is part of the container selection rule (not a transport detail):
+    native/ebcc_cpu_encoder.cc mirrors it exactly so both encoders keep
+    emitting byte-identical containers.  Undecided frames fall through to
+    the exact post-zstd byte comparison in _assemble_frame, so the rule
+    can only skip work, never change feasibility; the error bound is
+    independent of the variant choice.
+    """
+    const = np.asarray(res["const"], bool)
+    if mode not in (ResidualMode.MAX_ERROR, ResidualMode.RELATIVE_ERROR,
+                    ResidualMode.POINTWISE_MAX_ERROR):
+        res["decided_pure_pre"] = np.zeros(const.shape, bool)
+        return np.zeros(const.shape, bool)
+    skip = np.asarray(res["skip_residual"], bool)
+    br = np.asarray(res["mbits_r"], np.int64)
+    bq = np.asarray(res["mbits_q"], np.int64)
+    bpp = np.asarray(res["mbits_pure"], np.int64)
+    present = ~skip & (br > 0) & ((br + 7) // 8 > MIN_RESID_BYTES)
+    required = ~skip & (~present | ~np.asarray(res["resid_feasible"], bool))
+    decided = required
+    tier0 = np.zeros(const.shape, bool)
+    if not pure_fallback_disabled():
+        feas_p = np.asarray(res["base_feasible_pure"], bool)
+        # tier-0 decides pre-residual (native skips the layer's searches);
+        # recorded separately so the plane-budget check mirrors which
+        # frames the native encoder actually builds a residual layer for
+        tier0 = (~const & ~skip & feas_p &
+                 (bpp - bq <= TIER0_MAX_EXTRA_BITS))
+        wins = ((bpp - bq) * PURE_DECIDE_DEN <= br * PURE_DECIDE_NUM)
+        decided = decided | tier0 | (
+            present & np.asarray(res["resid_feasible"], bool) &
+            feas_p & wins)
+    res["decided_pure_pre"] = tier0
+    return decided & ~const
+
+
 def _zstd_stage(res, streams, n, config):
     """Entropy-pack residual streams, batched (native threads when built)."""
     _, resid_stream = streams
+    decided = res.get("decided_pure")
     rbytes = []
     idx = []
     for i in range(n):
-        if res["const"][i] or res["skip_residual"][i]:
+        if (res["const"][i] or res["skip_residual"][i] or
+                (decided is not None and decided[i])):
             continue
         rb = resid_stream(i, int(res["mbits_r"][i]),
                           int(res["km_r"][i]), res["segs_r"][i])
@@ -795,9 +877,16 @@ def _arena_bits(res, sel, bits):
 
 def _pack_streams(res, codec, rd):
     """Both layers' stream packers: (base(...), resid(...))."""
-    trunc_b = np.maximum(_arena_bits(res, "q", res["base_bits_q"]),
-                         _arena_bits(res, "pure", res["base_bits_pure"]))
-    trunc_r = np.where(res["skip_residual"], 0,
+    decided = res.get("decided_pure")
+    if decided is None:
+        decided = np.zeros(np.asarray(res["const"]).shape, bool)
+    arena_pure = _arena_bits(res, "pure", res["base_bits_pure"])
+    # decided frames emit only the pure variant: the arena need not cover
+    # the q-selection, and their residual layer never crosses the link
+    trunc_b = np.where(decided, arena_pure,
+                       np.maximum(_arena_bits(res, "q", res["base_bits_q"]),
+                                  arena_pure))
+    trunc_r = np.where(res["skip_residual"] | decided, 0,
                        _arena_bits(res, "r", res["resid_bits"]))
     return (_pack_layer_streams(res, codec, rd, "base", trunc_b),
             _pack_layer_streams(res, codec, rd, "resid", trunc_r))
@@ -820,10 +909,11 @@ def _check_plane_budget(res, config) -> None:
             "coefficient magnitudes exceed the configured bitplane budget; "
             "raise base_nplanes")
     # the residual budget only matters for frames that may emit residual
-    # bits — NONE-mode (and skip-residual) frames never pack the layer, so
-    # an overflowing max_step_r there is harmless (the native encoder
-    # does not even build the layer then)
-    emits = ~(np.asarray(res["const"]) | np.asarray(res["skip_residual"]))
+    # bits — NONE-mode, skip-residual, and tier-0-decided frames never
+    # pack the layer, so an overflowing max_step_r there is harmless (the
+    # native encoder does not even build the layer then)
+    emits = ~(np.asarray(res["const"]) | np.asarray(res["skip_residual"]) |
+              np.asarray(res.get("decided_pure_pre", False)))
     if np.any(emits &
               (np.asarray(res["max_step_r"]) >= config.residual_nplanes)):
         raise ValueError(
@@ -846,6 +936,7 @@ def _assemble_frame(res, i, h, w, config, mode, streams, zblobs) -> bytes:
                  else (container.MASK_NONE, 0))
     base_meta = dict(dc_b=float(res["dc_b"][i]),
                      max_step_b=int(res["max_step_b"][i]))
+    decided = res.get("decided_pure")
     skip = bool(res["skip_residual"][i])
     resid_feasible = bool(res["resid_feasible"][i])
     error_bounded = mode in (ResidualMode.MAX_ERROR,
@@ -879,6 +970,12 @@ def _assemble_frame(res, i, h, w, config, mode, streams, zblobs) -> bytes:
             base_stream=stream, base_nbits=bits, base_z=base_z,
             geom=_geom(config), resid=rpart, base_mask=bmask,
             pointwise=mode == ResidualMode.POINTWISE_MAX_ERROR, **base_meta)
+
+    if decided is not None and decided[i]:
+        # _decide_pure already ruled for the pure variant (and the residual
+        # layer was never packed); same bytes the exact comparison emits
+        return pack_variant(bits_pure, None, km_pure, res["segs_pure"][i],
+                            mask_pure)
 
     combined = pack_variant(bits_q, resid_part, km_q, res["segs_q"][i],
                             mask_q)

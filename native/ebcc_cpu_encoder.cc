@@ -59,6 +59,10 @@ constexpr float XI = 1.149604398f;
 constexpr float U16_MAX = 65535.0f;
 constexpr float RESID_SCALE = 255.0f;
 constexpr size_t MIN_RESID_BYTES = 16;  // j2k_codec.h:653 semantics
+// Tier-0 of the early pure decision (api.py TIER0_MAX_EXTRA_BITS): pure's
+// extra base bits below this cannot pay for the residual part's fixed
+// container overhead, so pure wins without building the residual layer.
+constexpr int64_t TIER0_MAX_EXTRA_BITS = 128;
 // XLA strength-reduces division by a compile-time constant into a multiply
 // by the f32-rounded reciprocal; match it exactly (verified op-by-op
 // against jitted XLA CPU kernels)
@@ -1073,6 +1077,7 @@ int64_t ebcc_cpu_encode_frame(
   LayerEnc resid;
   ResidSetup rset{0, 0, 0};
   std::vector<float> base_rec;  // [h, w] data-domain chosen reconstruction
+  bool decided_pure = false;    // early pure selection (api._decide_pure)
 
   if (error_bounded) {
     search_truncation(base, qbase, base_eval, &q, &pure);
@@ -1087,6 +1092,17 @@ int64_t ebcc_cpu_encode_frame(
     // "Skip Residual" (j2k_codec.h:584) against the decoder's v4 view
     skip_residual = mq.maxd <= 0.0f;
 
+    // Tier-0 of the early pure decision (api.py::_decide_pure, mirrored
+    // for byte identity): pure's extra base bits cannot pay for even the
+    // residual part's fixed container overhead, so pure wins regardless
+    // of what the residual would compress to.  Needs no residual
+    // quantities — the whole residual layer (build + truncation + mask
+    // searches, the bulk of this encoder's time) is skipped.
+    if (!skip_residual && feasible_pure && !disable_pure_fallback &&
+        mpure.mbits - mq.mbits <= TIER0_MAX_EXTRA_BITS)
+      decided_pure = true;
+  }
+  if (error_bounded && !skip_residual && !decided_pure) {
     base_rec.resize(n);
     base_rec_at(base, q.bstar, q.kstar, dc_b, mn, unscale_c, h, w,
                 coef_buf.data(), rec_buf.data(), base_rec.data(),
@@ -1134,7 +1150,8 @@ int64_t ebcc_cpu_encode_frame(
     bits_r = rq.bits;
     resid_feasible = rq.feasible;
     mr = search_mask(resid, 0.0f, rq, use_chunk_mask, resid_evalm);
-  } else {
+  }
+  if (!error_bounded) {
     // NONE / SPARSIFICATION_FACTOR: rate-targeted truncation
     // (pipeline.py _encode_rate_targeted)
     auto pick = [&](const LayerEnc& L, int64_t budget, SearchResult* r) {
@@ -1176,17 +1193,37 @@ int64_t ebcc_cpu_encode_frame(
     }
   }
 
+  // Remaining tiers of the early pure-base decision (api.py::_decide_pure
+  // — the selection rule is mirrored bit-for-bit so both encoders keep
+  // emitting byte-identical containers).  When any tier fires, the
+  // residual arena/zstd and the combined variant are never built: pure is
+  // either *required* (residual dropped or infeasible) or certainly
+  // smaller (its extra base bits cost at most 2/5 of the residual
+  // stream's raw bits; zstd never compresses these near-random streams
+  // 2.5x).  Undecided frames keep the exact post-zstd byte comparison
+  // below.
+  if (error_bounded && !decided_pure) {
+    bool present_pred = !skip_residual && mr.mbits > 0 &&
+                        (size_t)((mr.mbits + 7) / 8) > MIN_RESID_BYTES;
+    if (!skip_residual && (!present_pred || !resid_feasible))
+      decided_pure = true;  // pure_required, known before packing
+    else if (!disable_pure_fallback && present_pred && resid_feasible &&
+             feasible_pure && (mpure.mbits - mq.mbits) * 5 <= mr.mbits * 2)
+      decided_pure = true;
+  }
+
   // ---- streams + container (api.py _pack_streams / _assemble_frame) ----
   // arena coverage: a masked selection splices kept refine chunks from
-  // its plane's tail, so the arena must reach that plane's end
+  // its plane's tail, so the arena must reach that plane's end (decided
+  // frames emit only the pure variant, so only its coverage is needed)
   int64_t arena_q = mq.use ? base.plane_end(q.bstar) : bits_b;
   int64_t arena_p = mpure.use ? base.plane_end(pure.bstar) : bits_pure_b;
-  std::vector<uint8_t> base_arena =
-      encode_stream(base, std::max(arena_q, arena_p));
+  std::vector<uint8_t> base_arena = encode_stream(
+      base, decided_pure ? arena_p : std::max(arena_q, arena_p));
   std::vector<uint8_t> base_q_spliced, base_pure_spliced;
   const uint8_t* base_q_ptr = base_arena.data();
   const uint8_t* base_pure_ptr = base_arena.data();
-  if (mq.use) {
+  if (mq.use && !decided_pure) {  // decided: arena may not cover q's plane
     base_q_spliced = splice_masked(base_arena.data(), base, q.bstar, mq.keep);
     base_q_ptr = base_q_spliced.data();
   }
@@ -1196,7 +1233,7 @@ int64_t ebcc_cpu_encode_frame(
     base_pure_ptr = base_pure_spliced.data();
   }
   ResidPart rp;
-  if (!skip_residual && mr.mbits > 0 && !resid.ci.empty()) {
+  if (!decided_pure && !skip_residual && mr.mbits > 0 && !resid.ci.empty()) {
     int64_t arena_r = mr.use ? resid.plane_end(mr.bstar) : bits_r;
     std::vector<uint8_t> rraw = encode_stream(resid, arena_r);
     if (mr.use)
@@ -1219,23 +1256,25 @@ int64_t ebcc_cpu_encode_frame(
     }
   }
 
-  std::vector<uint8_t> combined = pack_variant(
-      mode16, h, w, mn, mx, dc_b, (uint8_t)base.max_step, geom, mq.mbits,
-      base_q_ptr, mq.use ? (uint8_t)q.bstar : MASK_NONE,
-      mq.use ? (uint16_t)mq.keep : 0, &rp, pointwise, zstd_level);
+  std::vector<uint8_t> combined;
+  if (!decided_pure)
+    combined = pack_variant(
+        mode16, h, w, mn, mx, dc_b, (uint8_t)base.max_step, geom, mq.mbits,
+        base_q_ptr, mq.use ? (uint8_t)q.bstar : MASK_NONE,
+        mq.use ? (uint16_t)mq.keep : 0, &rp, pointwise, zstd_level);
   std::vector<uint8_t>* chosen = &combined;
   std::vector<uint8_t> pure_blob;
   if (error_bounded) {
     // pure-base fallback comparison (j2k_codec.h:663-695, api.py)
     bool pure_required = !skip_residual && (!rp.present || !resid_feasible);
-    if (!(disable_pure_fallback && !pure_required)) {
+    if (decided_pure || !(disable_pure_fallback && !pure_required)) {
       pure_blob = pack_variant(
           mode16, h, w, mn, mx, dc_b, (uint8_t)base.max_step, geom,
           mpure.mbits, base_pure_ptr,
           mpure.use ? (uint8_t)pure.bstar : MASK_NONE,
           mpure.use ? (uint16_t)mpure.keep : 0, nullptr, pointwise,
           zstd_level);
-      if (pure_required ||
+      if (decided_pure || pure_required ||
           (feasible_pure && pure_blob.size() < combined.size()))
         chosen = &pure_blob;
     }

@@ -62,9 +62,11 @@ def main():
     t["1_device_encode_search"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    # mirror api.compress: large coefficient forms fetched lazily
+    # mirror api.compress: large coefficient forms fetched lazily, and the
+    # early pure decision gates the residual fetch/pack/zstd entirely
     rd = res._asdict()
     resn = api._unpack_meta(meta, codec.base.spec.nchunks)
+    resn["decided_pure"] = api._decide_pure(resn, cfg.mode)
     t["2_device_to_host_transfer_small"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
