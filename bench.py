@@ -48,11 +48,14 @@ def main():
     fallback otherwise.  A tunnel-attached device can hang at backend init
     OR die mid-run; either way the driver must still get its JSON line.
 
-    The probe verdicts are always FRESH here (a stale cached "dead" from a
-    transient outage minutes ago must not poison the driver's one capture
-    of the round), and when the wall number has to come from the CPU
-    fallback the device-only encode figure is still attempted afterwards —
-    the JSON reports every number the hardware would actually answer for.
+    BUDGET-AWARE: the driver runs this under ``timeout 580``
+    (EBCC_BENCH_BUDGET overrides).  Every attempt is sized from the budget
+    actually remaining, and — because the tunnel recovers in bursts — a
+    failed device attempt is RETRIED as the full wall bench once the probe
+    comes back healthy, so a transient outage costs the round the weaker
+    fallback wall only when the tunnel stays down the whole window.  The
+    probe verdicts are always FRESH here (a stale cached "dead" from
+    minutes ago must not poison the driver's one capture of the round).
     """
     from ebcc_tpu.utils import health
 
@@ -64,32 +67,62 @@ def main():
     if mode == "device_only":
         return run_device_only()
 
-    if health.probe_backend(use_cache=False):
-        out = _run_mode("device", int(os.environ.get(
-            "EBCC_BENCH_DEVICE_TIMEOUT", "430")))
-        if out is not None:
-            print(json.dumps(out))
-            return 0
-        # the device attempt failed or hung mid-run: record it so api
-        # callers in the next few minutes skip the device too
-        health.write_verdict(False)
+    budget = float(os.environ.get("EBCC_BENCH_BUDGET", "580"))
+    t_start = time.monotonic()
+
+    def remaining():
+        return budget - (time.monotonic() - t_start) - 8.0  # print margin
+
+    # first device box: leave room for the CPU fallback + one retry leg
+    # (a healthy run finishes well inside this with a warm compile cache)
     out = None
-    cpu_proc = _run_mode("cpu", 280)
-    if cpu_proc is not None:
-        out = cpu_proc
-    # the tunnel recovers in bursts: even when the wall number is the
-    # fallback's, try once more for the device-compute figure
-    if health.probe_backend(use_cache=False):
-        dev = _run_mode("device_only", 240)
-        if dev and out is not None:
-            out["device_encode_pts_per_s"] = dev["device_encode_pts_per_s"]
-            out["metric"] += (f" [device-only encode "
-                              f"{dev['device_encode_pts_per_s'] / 1e6:.1f}M"
-                              " pts/s measured post-fallback]")
-        elif dev and out is None:
-            out = dev
+    if health.probe_backend(use_cache=False, timeout_s=90):
+        box1 = min(float(os.environ.get("EBCC_BENCH_DEVICE_TIMEOUT", "320")),
+                   remaining() - 110)
+        if box1 >= 120:
+            out = _run_mode("device", int(box1))
+        if out is None:
+            # the device attempt failed or hung mid-run: record it so api
+            # callers in the next few minutes skip the device too
+            health.write_verdict(False)
     if out is not None:
         print(json.dumps(out))
+        return 0
+
+    cpu_out = None
+    box_cpu = min(200.0, remaining() - 60)
+    if box_cpu >= 60:
+        cpu_out = _run_mode("cpu", int(box_cpu))
+
+    # retry leg: the wall figure is what vs_baseline records, so when the
+    # probe has recovered and the budget allows, re-attempt the FULL wall
+    # bench (compile cache warm from the first attempt) before settling
+    # for the device-only encode figure
+    dev_out = None
+    if health.probe_backend(use_cache=False, timeout_s=60):
+        rem = remaining()
+        if rem >= 120:
+            dev_out = _run_mode("device", int(rem))
+        if dev_out is None and remaining() >= 70:
+            dev = _run_mode("device_only", int(remaining()))
+            if dev and cpu_out is not None:
+                cpu_out["device_encode_pts_per_s"] = \
+                    dev["device_encode_pts_per_s"]
+                cpu_out["metric"] += (
+                    f" [device-only encode "
+                    f"{dev['device_encode_pts_per_s'] / 1e6:.1f}M"
+                    " pts/s measured post-fallback]")
+            elif dev and cpu_out is None:
+                cpu_out = dev
+    if dev_out is not None:
+        if cpu_out is not None:
+            dev_out["metric"] += (" [device wall captured on retry after a "
+                                  "transient outage; fallback wall "
+                                  f"{cpu_out['value'] / 1e6:.2f}M pts/s]")
+        print(json.dumps(dev_out))
+        return 0
+    if cpu_out is not None:
+        print(json.dumps(cpu_out))
         return 0
     return run_bench(fallback_cpu=True)  # last resort: inline CPU bench
 

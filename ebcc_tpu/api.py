@@ -734,9 +734,16 @@ def _decide_pure(res, mode) -> np.ndarray:
         tier0 = (~const & ~skip & feas_p &
                  (bpp - bq <= TIER0_MAX_EXTRA_BITS))
         wins = ((bpp - bq) * PURE_DECIDE_DEN <= br * PURE_DECIDE_NUM)
-        decided = decided | tier0 | (
-            present & np.asarray(res["resid_feasible"], bool) &
-            feas_p & wins)
+        tier2 = (present & np.asarray(res["resid_feasible"], bool) &
+                 feas_p & wins & ~tier0 & ~required)
+        decided = decided | tier0 | tier2
+        if tier0.any() or tier2.any():
+            # the margin tiers are empirical (zstd < 2.5x on residual
+            # streams); count firings so a CR regression on new workloads
+            # is traceable to this heuristic rather than the codec
+            elog.debug("decide_pure: tier0=%d tier2=%d required=%d of %d",
+                       int(tier0.sum()), int(tier2.sum()),
+                       int(required.sum()), const.size)
     res["decided_pure_pre"] = tier0
     return decided & ~const
 
@@ -943,21 +950,6 @@ def _assemble_frame(res, i, h, w, config, mode, streams, zblobs) -> bytes:
                              ResidualMode.RELATIVE_ERROR,
                              ResidualMode.POINTWISE_MAX_ERROR)
 
-    resid_part = None
-    if not skip:
-        rbits = int(res["mbits_r"][i])
-        km_r = int(res["km_r"][i])
-        rmask = ((int(res["bs_r"][i]), km_r) if km_r >= 0
-                 else (container.MASK_NONE, 0))
-        zblob = zblobs.get(i)
-        if zblob is not None:
-            resid_part = (float(res["rmin"][i]), float(res["rmax"][i]),
-                          float(res["dc_r"][i]), int(res["max_step_r"][i]),
-                          rbits, zblob, *rmask)
-        else:
-            elog.debug("frame %d: residual dropped (<= %d bytes)",
-                       i, MIN_RESID_BYTES)
-
     def pack_variant(bits, rpart, km, segs, bmask):
         raw = base_stream(i, bits, km, segs)
         # final entropy stage on the base stream (the reference's base
@@ -976,6 +968,21 @@ def _assemble_frame(res, i, h, w, config, mode, streams, zblobs) -> bytes:
         # layer was never packed); same bytes the exact comparison emits
         return pack_variant(bits_pure, None, km_pure, res["segs_pure"][i],
                             mask_pure)
+
+    resid_part = None
+    if not skip:
+        rbits = int(res["mbits_r"][i])
+        km_r = int(res["km_r"][i])
+        rmask = ((int(res["bs_r"][i]), km_r) if km_r >= 0
+                 else (container.MASK_NONE, 0))
+        zblob = zblobs.get(i)
+        if zblob is not None:
+            resid_part = (float(res["rmin"][i]), float(res["rmax"][i]),
+                          float(res["dc_r"][i]), int(res["max_step_r"][i]),
+                          rbits, zblob, *rmask)
+        else:
+            elog.debug("frame %d: residual dropped (<= %d bytes)",
+                       i, MIN_RESID_BYTES)
 
     combined = pack_variant(bits_q, resid_part, km_q, res["segs_q"][i],
                             mask_q)

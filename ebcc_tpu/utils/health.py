@@ -53,9 +53,13 @@ def write_verdict(alive: bool) -> None:
         pass
 
 
-def probe_backend(use_cache: bool = True) -> bool:
+def probe_backend(use_cache: bool = True,
+                  timeout_s: float | None = None) -> bool:
     """Whether the default JAX backend can initialise, via a subprocess
-    (a wedged tunnel hangs backend init — it must not hang the caller)."""
+    (a wedged tunnel hangs backend init — it must not hang the caller).
+    ``timeout_s`` overrides PROBE_TIMEOUT_S for budget-boxed callers; a
+    wedged probe that hits the shorter box reads as dead (correct: a
+    healthy tunnel answers in well under a minute)."""
     if use_cache:
         cached = read_cached_verdict()
         if cached is not None:
@@ -66,7 +70,7 @@ def probe_backend(use_cache: bool = True) -> bool:
             "print(float(jnp.sum(jnp.ones((4,4)))))")
     try:
         alive = subprocess.run([sys.executable, "-c", code],
-                               timeout=PROBE_TIMEOUT_S,
+                               timeout=timeout_s or PROBE_TIMEOUT_S,
                                capture_output=True).returncode == 0
     except Exception:
         alive = False
