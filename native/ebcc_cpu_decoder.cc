@@ -262,6 +262,28 @@ void ebcc_cpu_idwt2d_multi(float* x, int H, int W, int levels) {
   idwt2d_multi(x, H, W, levels);
 }
 
+// All inverse levels except the LAST level's row pass (level 0 stops after
+// its column lifting).  The encoder's eval pipeline completes each row
+// on demand with ebcc_cpu_idwt1d_row and fuses the error scan in — rows
+// past an early feasibility exit are never row-lifted at all.  Completing
+// every row reproduces ebcc_cpu_idwt2d_multi bit-for-bit (the row pass is
+// per-row independent).
+void ebcc_cpu_idwt2d_multi_cols(float* x, int H, int W, int levels) {
+  if (levels <= 0) return;
+  std::vector<float> tmp(std::max(H, W));
+  std::vector<float> coltmp((size_t)H * 128);
+  for (int i = levels - 1; i >= 1; --i)
+    idwt2d_level(x, H >> i, W >> i, W, tmp.data(), coltmp.data());
+  constexpr int BC = 128;
+  for (int c0 = 0; c0 < W; c0 += BC)
+    idwt1d_cols_block(x + c0, H, W, std::min(BC, W - c0), coltmp.data());
+}
+
+// one row of the deferred level-0 row pass (tmp must hold >= W floats)
+void ebcc_cpu_idwt1d_row(float* row, int W, float* tmp) {
+  idwt1d(row, W, tmp);
+}
+
 void ebcc_cpu_weight_plane(int hp, int wp, int levels, float* out) {
   const auto& peaks = synthesis_peaks(levels);
   for (int r = 0; r < hp; ++r)

@@ -33,6 +33,7 @@
 #include <zstd.h>
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -42,6 +43,8 @@
 
 extern "C" {
 void ebcc_cpu_idwt2d_multi(float* x, int H, int W, int levels);
+void ebcc_cpu_idwt2d_multi_cols(float* x, int H, int W, int levels);
+void ebcc_cpu_idwt1d_row(float* row, int W, float* tmp);
 void ebcc_cpu_weight_plane(int hp, int wp, int levels, float* out);
 void ebcc_coder_encode_batch(const int32_t* coef, int n, int h, int w, int g,
                              int nplanes, int nchunks,
@@ -77,6 +80,21 @@ enum { MODE_NONE = 0, MODE_SPARS = 1, MODE_MAX_ERR = 2, MODE_REL_ERR = 3,
 int padded(int n, int levels) {
   int m = 1 << (levels + 1);
   return (n + m - 1) / m * m;
+}
+
+// ---- stage profiling counters (ebcc_cpu_prof_fetch; timing only, never
+// alters any computation).  The encoder is single-threaded per frame, so
+// plain globals suffice; scripts/profile_stages.py reads them. ----
+struct ProfCounters {
+  double t_transform = 0, t_recon = 0, t_idwt = 0, t_scan = 0, t_pack = 0;
+  double n_eval = 0, n_evalm = 0;
+};
+ProfCounters g_prof;
+
+double prof_now() {
+  return std::chrono::duration<double>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
 }
 
 // ---- forward CDF 9/7 lifting (ops/dwt.py dwt1d order) ----
@@ -267,6 +285,17 @@ struct LayerEnc {
   std::vector<uint32_t> mag;
   std::vector<uint8_t> neg;
   std::vector<int8_t> msb;
+  std::vector<int8_t> row_max;  // max msb per row (recon row skipping)
+  // per-row columns in msb-descending order (counting sort) + suffix
+  // counts: cnt_ge(r, d) columns of row r have msb >= d and they are
+  // exactly the first cnt_ge entries of sorted_cols[row] — recon visits
+  // only those (~6% at typical selection depths) over a memset row
+  std::vector<int32_t> sorted_cols;
+  std::vector<int32_t> msb_cnt;  // [h][33]: #cols with msb >= d-1 at [d]
+
+  int cnt_ge(int r, int d) const {  // #cols with msb >= d, d in [0, 31]
+    return msb_cnt[(size_t)r * 33 + d + 1];
+  }
   std::vector<std::vector<int8_t>> smax;  // [1..g]
   int max_step = 0;
   std::vector<float> wplane;
@@ -309,6 +338,32 @@ struct LayerEnc {
       mag[i] = m;
       neg[i] = iv < 0;
       msb[i] = (int8_t)msb_of(m);
+    }
+    row_max.assign(h, -1);
+    sorted_cols.resize(n);
+    msb_cnt.assign((size_t)h * 33, 0);
+    for (int r = 0; r < h; ++r) {
+      const int8_t* mr = msb.data() + (size_t)r * w;
+      int8_t rm = -1;
+      int cnt[33] = {0};  // bucket = msb + 1 in [0, 31]
+      for (int c = 0; c < w; ++c) {
+        rm = std::max(rm, mr[c]);
+        ++cnt[mr[c] + 1];
+      }
+      row_max[r] = rm;
+      // suffix[b] = #cols in buckets >= b; bucket bb starts (descending
+      // order) at suffix[bb + 1]
+      int suffix[35];
+      suffix[34] = 0;
+      suffix[33] = 0;
+      for (int b2 = 32; b2 >= 0; --b2)
+        suffix[b2] = suffix[b2 + 1] + (b2 <= 31 ? cnt[b2] : 0);
+      int32_t* mc = msb_cnt.data() + (size_t)r * 33;
+      for (int j = 0; j < 33; ++j) mc[j] = suffix[j];
+      int cur[33];
+      for (int b2 = 0; b2 < 33; ++b2) cur[b2] = suffix[b2 + 1];
+      int32_t* sc = sorted_cols.data() + (size_t)r * w;
+      for (int c = 0; c < w; ++c) sc[cur[mr[c] + 1]++] = c;
     }
     smax.assign(g + 1, {});
     // level 0 view is msb itself; build 1..g by 2x2 max pooling
@@ -456,28 +511,94 @@ struct LayerEnc {
 
   int64_t plane_end(int b) const { return candidate(b, 2 * J - 1); }
 
+  // rows of stripe jj: [ceil(jj*h/J), ceil((jj+1)*h/J))
+  void stripe_rows(int jj, int* r0, int* r1) const {
+    *r0 = (int)(((int64_t)jj * h + J - 1) / J);
+    *r1 = (int)(((int64_t)(jj + 1) * h + J - 1) / J);
+  }
+
+  // true when stripe jj holds no coefficient with msb >= b: its plane-b
+  // sign count (#msb == b) and refine count (#msb >= b+1) are both zero.
+  // Dropping such a chunk leaves the reconstruction bit-identical (every
+  // element's q is 0 at depth b and b+1 alike).
+  bool chunk_inert(int b, int jj) const {
+    const int64_t* cb = &counts[(size_t)b * S];
+    return cb[g + 2 * jj + 1] == 0 && cb[g + 2 * J + jj] == 0;
+  }
+
   // closed-form reconstruction with per-stripe drops at plane b
   // (ops/bitplane.py recon_masked): dropped stripes stay at plane b + 1
   // precision, kept stripes complete plane b.  ``wdiv`` (optional) fuses
   // layer_recon's per-coefficient weight division into this pass —
   // (-v)/w == -(v/w) and 0/w == 0 exactly in IEEE f32, so the fusion is
   // byte-identity-safe.
+  // one row of the masked recon at depth d: memset, then visit only the
+  // columns with msb >= d (the first cnt_ge entries of the row's
+  // msb-descending column list — ~6% of columns at typical selection
+  // depths).  Identical values in identical positions to a full scan
+  // (all skipped columns are exactly the q == 0 ones, written 0.0f).
+  void recon_row(size_t i0, int d, float* out, const float* wdiv) const {
+    int r = (int)(i0 / w);
+    memset(out + i0, 0, (size_t)w * sizeof(float));
+    if (row_max[r] < d) return;
+    float half = d > 0 ? (float)((1u << d) - 1) * 0.5f : 0.0f;
+    const int32_t* sc = sorted_cols.data() + i0;
+    int cnt = cnt_ge(r, d);
+    for (int k = 0; k < cnt; ++k) {
+      size_t i = i0 + sc[k];
+      uint32_t q = (mag[i] >> d) << d;
+      float v = (float)q + half;
+      if (wdiv) v /= wdiv[i];
+      out[i] = neg[i] ? -v : v;
+    }
+  }
+
   void recon_coef_masked(int b, uint32_t drop, float* out,
                          const float* wdiv = nullptr) const {
-    for (int r = 0; r < h; ++r) {
-      int d = b + (int)((drop >> stripe(r)) & 1u);
-      float half = d > 0 ? (float)((1u << d) - 1) * 0.5f : 0.0f;
-      for (int c = 0; c < w; ++c) {
-        size_t i = (size_t)r * w + c;
-        uint32_t q = (mag[i] >> d) << d;
-        if (!q) {
-          out[i] = 0.0f;
-          continue;
-        }
-        float v = (float)q + half;
-        if (wdiv) v /= wdiv[i];
-        out[i] = neg[i] ? -v : v;
-      }
+    for (int r = 0; r < h; ++r)
+      recon_row((size_t)r * w, b + (int)((drop >> stripe(r)) & 1u), out,
+                wdiv);
+  }
+
+  // rows [r0, r1) only — the mask search's greedy candidates differ from
+  // the running plane in exactly one stripe's depth
+  void recon_rows_masked(int r0, int r1, int d, float* out,
+                         const float* wdiv = nullptr) const {
+    for (int r = r0; r < r1; ++r) recon_row((size_t)r * w, d, out, wdiv);
+  }
+
+  // mixed-depth row of the fine reconstruction: "old" coefficients
+  // (msb > b, equivalently (mag >> (b+1)) << (b+1) != 0) appear at depth
+  // ``old_d`` (b when the row's refine chunk is kept, b+1 otherwise);
+  // "new" ones (msb == b) appear at depth b iff ``new_vis``.  Branchless
+  // per element; values match the original branchy form bit-for-bit (see
+  // recon_row's exactness notes).
+  void recon_row_fine(size_t i0, int b, bool new_vis, int old_d, float* out,
+                      const float* wdiv) const {
+    int r = (int)(i0 / w);
+    memset(out + i0, 0, (size_t)w * sizeof(float));
+    if (row_max[r] < b) return;  // nothing visible below msb b
+    float half_new = b > 0 ? (float)((1u << b) - 1) * 0.5f : 0.0f;
+    float half_old = old_d > 0 ? (float)((1u << old_d) - 1) * 0.5f : 0.0f;
+    const int32_t* sc = sorted_cols.data() + i0;
+    // the first cnt_ge(r, b+1) listed columns are the "old" (msb > b)
+    // coefficients, the next cnt_ge(r, b) - that the "new" (msb == b)
+    int n_old = cnt_ge(r, b + 1);
+    int n_vis = cnt_ge(r, b);
+    for (int k = 0; k < n_old; ++k) {
+      size_t i = i0 + sc[k];
+      uint32_t q = (mag[i] >> old_d) << old_d;
+      float v = (float)q + half_old;
+      if (wdiv) v /= wdiv[i];
+      out[i] = neg[i] ? -v : v;
+    }
+    if (!new_vis) return;
+    for (int k = n_old; k < n_vis; ++k) {
+      size_t i = i0 + sc[k];
+      uint32_t q = (mag[i] >> b) << b;
+      float v = (float)q + half_new;
+      if (wdiv) v /= wdiv[i];
+      out[i] = neg[i] ? -v : v;
     }
   }
 
@@ -486,30 +607,21 @@ struct LayerEnc {
   void recon_coef(int b, int js, int jr, bool fine, float* out,
                   const float* wdiv = nullptr) const {
     for (int r = 0; r < h; ++r) {
-      int sid = stripe(r);
-      for (int c = 0; c < w; ++c) {
-        size_t i = (size_t)r * w + c;
-        int m = msb[i];
-        bool old = m > b, nw = m == b;
-        bool visible;
-        int beff;
-        if (!fine) {
-          visible = old || nw;
-          beff = b;
-        } else {
-          visible = old || (nw && sid < js);
-          beff = (old && sid >= jr) ? b + 1 : b;
-        }
-        if (!visible) {
-          out[i] = 0.0f;
-          continue;
-        }
-        uint32_t q = (mag[i] >> beff) << beff;
-        float half = beff > 0 ? (float)((1u << beff) - 1) * 0.5f : 0.0f;
-        float v = (float)q + half;
-        if (wdiv) v /= wdiv[i];
-        out[i] = neg[i] ? -v : v;
+      size_t i0 = (size_t)r * w;
+      if (!fine) {
+        // coarse: depth-b recon (q == 0 exactly when msb < b)
+        recon_row(i0, b, out, wdiv);
+        continue;
       }
+      int sid = stripe(r);
+      bool new_vis = sid < js;
+      int old_d = sid >= jr ? b + 1 : b;
+      if (new_vis && old_d == b)
+        recon_row(i0, b, out, wdiv);  // fully refined + new visible
+      else if (!new_vis && old_d == b + 1)
+        recon_row(i0, b + 1, out, wdiv);  // only old, coarse depth
+      else
+        recon_row_fine(i0, b, new_vis, old_d, out, wdiv);
     }
   }
 };
@@ -578,6 +690,85 @@ struct ErrStats {
   float maxd;   // max over points of |err| - target
   double viol;  // fraction of points violating
 };
+
+// ---- vectorisable per-row error scans ----
+//
+// maxd is a pure float max-reduction (exactly associative and commutative
+// — only the sign of a 0.0 tie can differ between scalar and vector
+// order, and every consumer tests sign or feasibility only) and nv an
+// integer sum, so letting the compiler vectorise these cannot change any
+// encoder verdict.  __restrict: the scan buffers never alias.
+
+struct RowStats {
+  float maxd;
+  int64_t nv;
+};
+
+// base layer: rec = fma(clamp(coef + dc, 0, hi), cc, c1)
+RowStats scan_row_base(const float* __restrict coef,
+                       const float* __restrict dq, float dc, float hi,
+                       float cc, float c1, float tgt, int w) {
+  float maxd = -std::numeric_limits<float>::infinity();
+  int64_t nv = 0;
+  for (int c = 0; c < w; ++c) {
+    float y = std::min(std::max(coef[c] + dc, 0.0f), hi);
+    float rec = std::fma(y, cc, c1);
+    float e = std::fabs(dq[c] - rec) - tgt;
+    maxd = std::max(maxd, e);
+    nv += e > 0.0f;
+  }
+  return {maxd, nv};
+}
+
+RowStats scan_row_base_pw(const float* __restrict coef,
+                          const float* __restrict dq,
+                          const float* __restrict tpw, float tq, float dc,
+                          float hi, float cc, float c1, int w) {
+  float maxd = -std::numeric_limits<float>::infinity();
+  int64_t nv = 0;
+  for (int c = 0; c < w; ++c) {
+    float y = std::min(std::max(coef[c] + dc, 0.0f), hi);
+    float rec = std::fma(y, cc, c1);
+    float e = std::fabs(dq[c] - rec) - (tpw[c] - tq);
+    maxd = std::max(maxd, e);
+    nv += e > 0.0f;
+  }
+  return {maxd, nv};
+}
+
+// residual layer: rec = addin + fma(clamp(coef + dc, 0, hi), cc, c1)
+RowStats scan_row_resid(const float* __restrict coef,
+                        const float* __restrict dq,
+                        const float* __restrict addin, float dc, float hi,
+                        float cc, float c1, float tgt, int w) {
+  float maxd = -std::numeric_limits<float>::infinity();
+  int64_t nv = 0;
+  for (int c = 0; c < w; ++c) {
+    float y = std::min(std::max(coef[c] + dc, 0.0f), hi);
+    float rec = addin[c] + std::fma(y, cc, c1);
+    float e = std::fabs(dq[c] - rec) - tgt;
+    maxd = std::max(maxd, e);
+    nv += e > 0.0f;
+  }
+  return {maxd, nv};
+}
+
+RowStats scan_row_resid_pw(const float* __restrict coef,
+                           const float* __restrict dq,
+                           const float* __restrict addin,
+                           const float* __restrict tpw, float tq, float dc,
+                           float hi, float cc, float c1, int w) {
+  float maxd = -std::numeric_limits<float>::infinity();
+  int64_t nv = 0;
+  for (int c = 0; c < w; ++c) {
+    float y = std::min(std::max(coef[c] + dc, 0.0f), hi);
+    float rec = addin[c] + std::fma(y, cc, c1);
+    float e = std::fabs(dq[c] - rec) - (tpw[c] - tq);
+    maxd = std::max(maxd, e);
+    nv += e > 0.0f;
+  }
+  return {maxd, nv};
+}
 
 struct SearchResult {
   int64_t bits = 0;
@@ -708,7 +899,22 @@ MaskResult search_mask(const LayerEnc& L, float qa, const SearchResult& sel,
     return e;
   };
   uint32_t drop = 0;
+  const uint32_t all = (1u << L.J) - 1;
   for (int jj = 0; jj < L.J; ++jj) {
+    // inert chunk: the masked recon equals the accepted set's, so the JAX
+    // greedy's eval necessarily returns the accepted set's (feasible)
+    // stats — same verdict without the eval
+    if (L.chunk_inert(sel.bstar, jj)) {
+      drop |= 1u << jj;
+      continue;
+    }
+    // prune: masked_bits is monotone decreasing in the drop set, so when
+    // even dropping every remaining chunk cannot get below the prefix
+    // length, ``use`` is certainly false — every output of this search is
+    // then independent of the remaining evals (JAX runs them; the bytes
+    // agree because the mask is unused on both sides)
+    uint32_t rest = all & (~0u << jj);
+    if (L.masked_bits(sel.bstar, all & ~(drop | rest)) >= sel.bits) break;
     uint32_t cand = drop | (1u << jj);
     if (ok_rule(eval_m(cand))) drop = cand;
   }
@@ -990,12 +1196,14 @@ int64_t ebcc_cpu_encode_frame(
   // on the ORIGINAL data holds by the triangle inequality:
   // |x - dec| <= |x - dataq| + |dataq - dec| <= maxq + (target - maxq).
   float rng = mx - mn;
+  double tp0 = prof_now();
   std::vector<float> u16(n), dataq(n);
   const float maxq = scale_u16_ref(data, n, mn, rng, u16.data(),
                                    dataq.data(), nullptr);
   LayerEnc base;
   base.init(h, w, base_levels, base_nplanes, nchunks);
   float dc_b = base.transform(u16.data(), h, w);
+  g_prof.t_transform += prof_now() - tp0;
   u16.clear();
   u16.shrink_to_fit();
   if (base.max_step > base.P - 1) return -3;
@@ -1003,15 +1211,6 @@ int64_t ebcc_cpu_encode_frame(
   // scratch buffers for candidate evaluation
   std::vector<float> coef_buf((size_t)base.h * base.w);
   std::vector<float> rec_buf((size_t)base.h * base.w);
-
-  // per-point target (pointwise) or scalar target, tightened by the
-  // quantisation error (api.compress applies the identical f32
-  // subtraction to the targets it ships to the device)
-  auto target_at = [&](size_t i) -> float {
-    return (pointwise ? target_pw[i]
-                      : (mode == MODE_REL_ERR ? error * rng : error)) -
-           maxq;
-  };
 
   // Largest violation count still feasible under quantile qa — the scan
   // may stop once nv exceeds it: the verdict (infeasible) is then certain,
@@ -1031,40 +1230,89 @@ int64_t ebcc_cpu_encode_frame(
 
   // y / 65535 * rng + mn, reassociated + fused the way XLA compiles it.
   // Search evals fuse layer_recon into the pipeline: the weight division
-  // rides the coefficient recon, the idwt runs in place on coef_buf, and
-  // the +dc / clamp / unscale arithmetic is applied inside the error scan
-  // (same ops in the same order as layer_recon + the old scan — only the
-  // intermediate full-plane buffer is gone).
+  // rides the coefficient recon, the idwt runs in place on coef_buf with
+  // its level-0 row pass DEFERRED, and each row is completed on demand
+  // right before its error scan (scan_row_*) — rows past an infeasible
+  // early exit are never row-lifted.  Same ops in the same order as the
+  // full idwt + scan for every row that contributes to a verdict.
   const float unscale_c = RECIP_U16 * rng;
-  auto base_scan = [&](float qa) -> ErrStats {
+  const float tconst =
+      (mode == MODE_REL_ERR ? error * rng : error) - maxq;
+  std::vector<float> rowtmp(base.w);
+  auto base_scan_fused = [&](float qa) -> ErrStats {
     float maxd = -std::numeric_limits<float>::infinity();
-    size_t nv = 0;
+    int64_t nv = 0;
     const size_t T = exit_thresh(qa);
     for (int r = 0; r < h; ++r) {
-      for (int c = 0; c < w; ++c) {
-        size_t i = (size_t)r * w + c;
-        float y = std::min(
-            std::max(coef_buf[(size_t)r * base.w + c] + dc_b, 0.0f),
-            U16_MAX);
-        float rec = std::fma(y, unscale_c, mn);
-        float e = std::fabs(dataq[i] - rec) - target_at(i);
-        maxd = std::max(maxd, e);
-        if (e > 0.0f) ++nv;
-      }
-      if (nv > T) break;  // infeasible for sure; maxd already > 0
+      float* row = coef_buf.data() + (size_t)r * base.w;
+      if (base.levels > 0) ebcc_cpu_idwt1d_row(row, base.w, rowtmp.data());
+      const float* dqr = dataq.data() + (size_t)r * w;
+      RowStats s =
+          pointwise
+              ? scan_row_base_pw(row, dqr, target_pw + (size_t)r * w, maxq,
+                                 dc_b, U16_MAX, unscale_c, mn, w)
+              : scan_row_base(row, dqr, dc_b, U16_MAX, unscale_c, mn,
+                              tconst, w);
+      maxd = std::max(maxd, s.maxd);
+      nv += s.nv;
+      if ((size_t)nv > T) break;  // infeasible for sure; maxd already > 0
     }
     return {maxd, (double)nv / (double)n};
   };
   auto base_eval = [&](int b, int js, int jr, bool fine,
                        float qa) -> ErrStats {
+    double t0 = prof_now();
     base.recon_coef(b, js, jr, fine, coef_buf.data(), base.wplane.data());
-    ebcc_cpu_idwt2d_multi(coef_buf.data(), base.h, base.w, base.levels);
-    return base_scan(qa);
+    double t1 = prof_now();
+    ebcc_cpu_idwt2d_multi_cols(coef_buf.data(), base.h, base.w,
+                               base.levels);
+    double t2 = prof_now();
+    ErrStats e = base_scan_fused(qa);
+    double t3 = prof_now();
+    g_prof.t_recon += t1 - t0;
+    g_prof.t_idwt += t2 - t1;
+    g_prof.t_scan += t3 - t2;
+    g_prof.n_eval += 1;
+    return e;
   };
+  // Masked evals keep a persistent coefficient plane: successive greedy
+  // candidates differ in at most a few stripes' depths, so only the
+  // XOR-diff stripes are recomputed (each element's value depends only on
+  // its own (mag, depth, weight) — identical bits to a full rebuild) and
+  // the plane is memcpy'd into coef_buf for the in-place IDWT.
+  std::vector<float> cm_base;
+  int cmb_b = -1;
+  uint32_t cmb_drop = 0;
   auto base_evalm = [&](int b, uint32_t drop, float qa) -> ErrStats {
-    base.recon_coef_masked(b, drop, coef_buf.data(), base.wplane.data());
-    ebcc_cpu_idwt2d_multi(coef_buf.data(), base.h, base.w, base.levels);
-    return base_scan(qa);
+    double t0 = prof_now();
+    size_t np = (size_t)base.h * base.w;
+    if (cm_base.size() != np) cm_base.resize(np);
+    if (cmb_b != b) {
+      base.recon_coef_masked(b, drop, cm_base.data(), base.wplane.data());
+    } else {
+      uint32_t diff = cmb_drop ^ drop;
+      for (int jj = 0; jj < base.J; ++jj)
+        if ((diff >> jj) & 1u) {
+          int r0, r1;
+          base.stripe_rows(jj, &r0, &r1);
+          base.recon_rows_masked(r0, r1, b + (int)((drop >> jj) & 1u),
+                                 cm_base.data(), base.wplane.data());
+        }
+    }
+    cmb_b = b;
+    cmb_drop = drop;
+    memcpy(coef_buf.data(), cm_base.data(), np * sizeof(float));
+    double t1 = prof_now();
+    ebcc_cpu_idwt2d_multi_cols(coef_buf.data(), base.h, base.w,
+                               base.levels);
+    double t2 = prof_now();
+    ErrStats e = base_scan_fused(qa);
+    double t3 = prof_now();
+    g_prof.t_recon += t1 - t0;
+    g_prof.t_idwt += t2 - t1;
+    g_prof.t_scan += t3 - t2;
+    g_prof.n_evalm += 1;
+    return e;
   };
 
   SearchResult q, pure;
@@ -1103,47 +1351,94 @@ int64_t ebcc_cpu_encode_frame(
       decided_pure = true;
   }
   if (error_bounded && !skip_residual && !decided_pure) {
+    double tr0 = prof_now();
     base_rec.resize(n);
     base_rec_at(base, q.bstar, q.kstar, dc_b, mn, unscale_c, h, w,
                 coef_buf.data(), rec_buf.data(), base_rec.data(),
                 mq.use, mq.use ? (((1u << base.J) - 1) & ~mq.keep) : 0);
     rset = make_resid_layer(resid, dataq.data(), base_rec.data(), h, w,
                             resid_levels, resid_nplanes, nchunks);
+    g_prof.t_transform += prof_now() - tr0;
     if (resid.max_step > resid.P - 1) return -3;
 
     std::vector<float> rcoef((size_t)resid.h * resid.w);
     float rc0 = RECIP_RS * (rset.rmx - rset.rmn);
     // fused eval pipeline, same shape as the base layer's (see above)
-    auto resid_scan = [&](float qa) -> ErrStats {
+    std::vector<float> rrowtmp(resid.w);
+    auto resid_scan_fused = [&](float qa) -> ErrStats {
       float maxd = -std::numeric_limits<float>::infinity();
-      size_t nv = 0;
+      int64_t nv = 0;
       const size_t T = exit_thresh(qa);
       for (int r = 0; r < h; ++r) {
-        for (int c = 0; c < w; ++c) {
-          size_t i = (size_t)r * w + c;
-          float y = std::min(
-              std::max(rcoef[(size_t)r * resid.w + c] + rset.dc_r, 0.0f),
-              RESID_SCALE);
-          float rec = base_rec[i] + std::fma(y, rc0, rset.rmn);
-          float e = std::fabs(dataq[i] - rec) - target_at(i);
-          maxd = std::max(maxd, e);
-          if (e > 0.0f) ++nv;
-        }
-        if (nv > T) break;  // infeasible for sure; maxd already > 0
+        float* row = rcoef.data() + (size_t)r * resid.w;
+        if (resid.levels > 0)
+          ebcc_cpu_idwt1d_row(row, resid.w, rrowtmp.data());
+        const float* dqr = dataq.data() + (size_t)r * w;
+        const float* br = base_rec.data() + (size_t)r * w;
+        RowStats s =
+            pointwise
+                ? scan_row_resid_pw(row, dqr, br, target_pw + (size_t)r * w,
+                                    maxq, rset.dc_r, RESID_SCALE, rc0,
+                                    rset.rmn, w)
+                : scan_row_resid(row, dqr, br, rset.dc_r, RESID_SCALE, rc0,
+                                 rset.rmn, tconst, w);
+        maxd = std::max(maxd, s.maxd);
+        nv += s.nv;
+        if ((size_t)nv > T) break;  // infeasible for sure
       }
       return {maxd, (double)nv / (double)n};
     };
     auto resid_eval = [&](int b, int js2, int jr2, bool fine,
                           float qa) -> ErrStats {
+      double t0 = prof_now();
       resid.recon_coef(b, js2, jr2, fine, rcoef.data(),
                        resid.wplane.data());
-      ebcc_cpu_idwt2d_multi(rcoef.data(), resid.h, resid.w, resid.levels);
-      return resid_scan(qa);
+      double t1 = prof_now();
+      ebcc_cpu_idwt2d_multi_cols(rcoef.data(), resid.h, resid.w,
+                                 resid.levels);
+      double t2 = prof_now();
+      ErrStats e = resid_scan_fused(qa);
+      double t3 = prof_now();
+      g_prof.t_recon += t1 - t0;
+      g_prof.t_idwt += t2 - t1;
+      g_prof.t_scan += t3 - t2;
+      g_prof.n_eval += 1;
+      return e;
     };
+    std::vector<float> cm_resid;
+    int cmr_b = -1;
+    uint32_t cmr_drop = 0;
     auto resid_evalm = [&](int b, uint32_t drop, float qa) -> ErrStats {
-      resid.recon_coef_masked(b, drop, rcoef.data(), resid.wplane.data());
-      ebcc_cpu_idwt2d_multi(rcoef.data(), resid.h, resid.w, resid.levels);
-      return resid_scan(qa);
+      double t0 = prof_now();
+      size_t np = (size_t)resid.h * resid.w;
+      if (cm_resid.size() != np) cm_resid.resize(np);
+      if (cmr_b != b) {
+        resid.recon_coef_masked(b, drop, cm_resid.data(),
+                                resid.wplane.data());
+      } else {
+        uint32_t diff = cmr_drop ^ drop;
+        for (int jj = 0; jj < resid.J; ++jj)
+          if ((diff >> jj) & 1u) {
+            int r0, r1;
+            resid.stripe_rows(jj, &r0, &r1);
+            resid.recon_rows_masked(r0, r1, b + (int)((drop >> jj) & 1u),
+                                    cm_resid.data(), resid.wplane.data());
+          }
+      }
+      cmr_b = b;
+      cmr_drop = drop;
+      memcpy(rcoef.data(), cm_resid.data(), np * sizeof(float));
+      double t1 = prof_now();
+      ebcc_cpu_idwt2d_multi_cols(rcoef.data(), resid.h, resid.w,
+                                 resid.levels);
+      double t2 = prof_now();
+      ErrStats e = resid_scan_fused(qa);
+      double t3 = prof_now();
+      g_prof.t_recon += t1 - t0;
+      g_prof.t_idwt += t2 - t1;
+      g_prof.t_scan += t3 - t2;
+      g_prof.n_evalm += 1;
+      return e;
     };
     SearchResult rq;
     search_truncation(resid, 0.0f, resid_eval, &rq, nullptr);
@@ -1216,6 +1511,7 @@ int64_t ebcc_cpu_encode_frame(
   // arena coverage: a masked selection splices kept refine chunks from
   // its plane's tail, so the arena must reach that plane's end (decided
   // frames emit only the pure variant, so only its coverage is needed)
+  double tk0 = prof_now();
   int64_t arena_q = mq.use ? base.plane_end(q.bstar) : bits_b;
   int64_t arena_p = mpure.use ? base.plane_end(pure.bstar) : bits_pure_b;
   std::vector<uint8_t> base_arena = encode_stream(
@@ -1281,7 +1577,23 @@ int64_t ebcc_cpu_encode_frame(
   }
   if ((int64_t)chosen->size() > out_cap) return -2;
   memcpy(out, chosen->data(), chosen->size());
+  g_prof.t_pack += prof_now() - tk0;
   return (int64_t)chosen->size();
+}
+
+// Stage-profiling counters accumulated by ebcc_cpu_encode_frame since the
+// last fetch: out[7] = {transform_s, recon_s, idwt_s, scan_s, pack_s,
+// n_eval, n_evalm}.  Fetch-and-reset; timing-only (no computation depends
+// on it).
+void ebcc_cpu_prof_fetch(double* out) {
+  out[0] = g_prof.t_transform;
+  out[1] = g_prof.t_recon;
+  out[2] = g_prof.t_idwt;
+  out[3] = g_prof.t_scan;
+  out[4] = g_prof.t_pack;
+  out[5] = g_prof.n_eval;
+  out[6] = g_prof.n_evalm;
+  g_prof = ProfCounters();
 }
 
 // Host-side u16 quantisation of a frame batch for the device hostq encode
