@@ -38,6 +38,8 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <memory>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -276,6 +278,29 @@ float scale_u16_ref(const float* data, size_t n, float mn, float rng,
 
 int msb_of(uint32_t v) { return v ? 31 - __builtin_clz(v) : -1; }
 
+// Per-geometry synthesis-peak weight plane, computed once and shared:
+// every frame of a batch (and every HDF5 chunk of a dataset) uses the same
+// (h, w, levels), and the per-coefficient subband lookup is a measurable
+// per-frame cost.  Entries live for the process lifetime; unique_ptr
+// storage keeps returned pointers stable across cache growth.  Mutex:
+// the HDF5 filter runs the encoder from multiple threads.
+const float* cached_weight_plane(int h, int w, int levels) {
+  struct Entry {
+    int h, w, levels;
+    std::unique_ptr<float[]> plane;
+  };
+  static std::mutex mu;
+  static std::vector<Entry> cache;
+  std::lock_guard<std::mutex> lk(mu);
+  for (auto& e : cache)
+    if (e.h == h && e.w == w && e.levels == levels) return e.plane.get();
+  Entry e{h, w, levels,
+          std::unique_ptr<float[]>(new float[(size_t)h * w])};
+  ebcc_cpu_weight_plane(h, w, levels, e.plane.get());
+  cache.push_back(std::move(e));
+  return cache.back().plane.get();
+}
+
 // ---- per-layer encoder state ----
 
 struct LayerEnc {
@@ -298,7 +323,7 @@ struct LayerEnc {
   }
   std::vector<std::vector<int8_t>> smax;  // [1..g]
   int max_step = 0;
-  std::vector<float> wplane;
+  const float* wplane = nullptr;  // cached per geometry (weight cache)
   // counts[b][s] and derived cumulative tables
   std::vector<int64_t> counts;       // P * S
   std::vector<int64_t> before;       // bits of planes above b
@@ -316,8 +341,7 @@ struct LayerEnc {
     J = nchunks;
     h = padded(h_orig, lv);
     w = padded(w_orig, lv);
-    wplane.resize((size_t)h * w);
-    ebcc_cpu_weight_plane(h, w, lv, wplane.data());
+    wplane = cached_weight_plane(h, w, lv);
   }
 
   // transform + quantize: padded data-domain plane (DC already removed) ->
@@ -704,70 +728,67 @@ struct RowStats {
   int64_t nv;
 };
 
-// base layer: rec = fma(clamp(coef + dc, 0, hi), cc, c1)
-RowStats scan_row_base(const float* __restrict coef,
-                       const float* __restrict dq, float dc, float hi,
-                       float cc, float c1, float tgt, int w) {
+// shared reduction tail: both loops vectorise (the fused
+// compute+max+count form defeats the vectoriser's reduction matching)
+RowStats reduce_row(const float* __restrict e, int w) {
   float maxd = -std::numeric_limits<float>::infinity();
-  int64_t nv = 0;
+  for (int c = 0; c < w; ++c) maxd = std::max(maxd, e[c]);
+  uint32_t nv = 0;
+  for (int c = 0; c < w; ++c) nv += e[c] > 0.0f;
+  return {maxd, (int64_t)nv};
+}
+
+// base layer: rec = fma(clamp(coef + dc, 0, hi), cc, c1); ebuf is a
+// >= w scratch row
+RowStats scan_row_base(const float* __restrict coef,
+                       const float* __restrict dq, float* __restrict ebuf,
+                       float dc, float hi, float cc, float c1, float tgt,
+                       int w) {
   for (int c = 0; c < w; ++c) {
     float y = std::min(std::max(coef[c] + dc, 0.0f), hi);
-    float rec = std::fma(y, cc, c1);
-    float e = std::fabs(dq[c] - rec) - tgt;
-    maxd = std::max(maxd, e);
-    nv += e > 0.0f;
+    ebuf[c] = std::fabs(dq[c] - std::fma(y, cc, c1)) - tgt;
   }
-  return {maxd, nv};
+  return reduce_row(ebuf, w);
 }
 
 RowStats scan_row_base_pw(const float* __restrict coef,
                           const float* __restrict dq,
-                          const float* __restrict tpw, float tq, float dc,
-                          float hi, float cc, float c1, int w) {
-  float maxd = -std::numeric_limits<float>::infinity();
-  int64_t nv = 0;
+                          const float* __restrict tpw, float tq,
+                          float* __restrict ebuf, float dc, float hi,
+                          float cc, float c1, int w) {
   for (int c = 0; c < w; ++c) {
     float y = std::min(std::max(coef[c] + dc, 0.0f), hi);
-    float rec = std::fma(y, cc, c1);
-    float e = std::fabs(dq[c] - rec) - (tpw[c] - tq);
-    maxd = std::max(maxd, e);
-    nv += e > 0.0f;
+    ebuf[c] = std::fabs(dq[c] - std::fma(y, cc, c1)) - (tpw[c] - tq);
   }
-  return {maxd, nv};
+  return reduce_row(ebuf, w);
 }
 
 // residual layer: rec = addin + fma(clamp(coef + dc, 0, hi), cc, c1)
 RowStats scan_row_resid(const float* __restrict coef,
                         const float* __restrict dq,
-                        const float* __restrict addin, float dc, float hi,
+                        const float* __restrict addin,
+                        float* __restrict ebuf, float dc, float hi,
                         float cc, float c1, float tgt, int w) {
-  float maxd = -std::numeric_limits<float>::infinity();
-  int64_t nv = 0;
   for (int c = 0; c < w; ++c) {
     float y = std::min(std::max(coef[c] + dc, 0.0f), hi);
     float rec = addin[c] + std::fma(y, cc, c1);
-    float e = std::fabs(dq[c] - rec) - tgt;
-    maxd = std::max(maxd, e);
-    nv += e > 0.0f;
+    ebuf[c] = std::fabs(dq[c] - rec) - tgt;
   }
-  return {maxd, nv};
+  return reduce_row(ebuf, w);
 }
 
 RowStats scan_row_resid_pw(const float* __restrict coef,
                            const float* __restrict dq,
                            const float* __restrict addin,
-                           const float* __restrict tpw, float tq, float dc,
-                           float hi, float cc, float c1, int w) {
-  float maxd = -std::numeric_limits<float>::infinity();
-  int64_t nv = 0;
+                           const float* __restrict tpw, float tq,
+                           float* __restrict ebuf, float dc, float hi,
+                           float cc, float c1, int w) {
   for (int c = 0; c < w; ++c) {
     float y = std::min(std::max(coef[c] + dc, 0.0f), hi);
     float rec = addin[c] + std::fma(y, cc, c1);
-    float e = std::fabs(dq[c] - rec) - (tpw[c] - tq);
-    maxd = std::max(maxd, e);
-    nv += e > 0.0f;
+    ebuf[c] = std::fabs(dq[c] - rec) - (tpw[c] - tq);
   }
-  return {maxd, nv};
+  return reduce_row(ebuf, w);
 }
 
 struct SearchResult {
@@ -1250,9 +1271,10 @@ int64_t ebcc_cpu_encode_frame(
       RowStats s =
           pointwise
               ? scan_row_base_pw(row, dqr, target_pw + (size_t)r * w, maxq,
-                                 dc_b, U16_MAX, unscale_c, mn, w)
-              : scan_row_base(row, dqr, dc_b, U16_MAX, unscale_c, mn,
-                              tconst, w);
+                                 rowtmp.data(), dc_b, U16_MAX, unscale_c,
+                                 mn, w)
+              : scan_row_base(row, dqr, rowtmp.data(), dc_b, U16_MAX,
+                              unscale_c, mn, tconst, w);
       maxd = std::max(maxd, s.maxd);
       nv += s.nv;
       if ((size_t)nv > T) break;  // infeasible for sure; maxd already > 0
@@ -1262,7 +1284,7 @@ int64_t ebcc_cpu_encode_frame(
   auto base_eval = [&](int b, int js, int jr, bool fine,
                        float qa) -> ErrStats {
     double t0 = prof_now();
-    base.recon_coef(b, js, jr, fine, coef_buf.data(), base.wplane.data());
+    base.recon_coef(b, js, jr, fine, coef_buf.data(), base.wplane);
     double t1 = prof_now();
     ebcc_cpu_idwt2d_multi_cols(coef_buf.data(), base.h, base.w,
                                base.levels);
@@ -1288,7 +1310,7 @@ int64_t ebcc_cpu_encode_frame(
     size_t np = (size_t)base.h * base.w;
     if (cm_base.size() != np) cm_base.resize(np);
     if (cmb_b != b) {
-      base.recon_coef_masked(b, drop, cm_base.data(), base.wplane.data());
+      base.recon_coef_masked(b, drop, cm_base.data(), base.wplane);
     } else {
       uint32_t diff = cmb_drop ^ drop;
       for (int jj = 0; jj < base.J; ++jj)
@@ -1296,7 +1318,7 @@ int64_t ebcc_cpu_encode_frame(
           int r0, r1;
           base.stripe_rows(jj, &r0, &r1);
           base.recon_rows_masked(r0, r1, b + (int)((drop >> jj) & 1u),
-                                 cm_base.data(), base.wplane.data());
+                                 cm_base.data(), base.wplane);
         }
     }
     cmb_b = b;
@@ -1378,10 +1400,10 @@ int64_t ebcc_cpu_encode_frame(
         RowStats s =
             pointwise
                 ? scan_row_resid_pw(row, dqr, br, target_pw + (size_t)r * w,
-                                    maxq, rset.dc_r, RESID_SCALE, rc0,
-                                    rset.rmn, w)
-                : scan_row_resid(row, dqr, br, rset.dc_r, RESID_SCALE, rc0,
-                                 rset.rmn, tconst, w);
+                                    maxq, rrowtmp.data(), rset.dc_r,
+                                    RESID_SCALE, rc0, rset.rmn, w)
+                : scan_row_resid(row, dqr, br, rrowtmp.data(), rset.dc_r,
+                                 RESID_SCALE, rc0, rset.rmn, tconst, w);
         maxd = std::max(maxd, s.maxd);
         nv += s.nv;
         if ((size_t)nv > T) break;  // infeasible for sure
@@ -1392,7 +1414,7 @@ int64_t ebcc_cpu_encode_frame(
                           float qa) -> ErrStats {
       double t0 = prof_now();
       resid.recon_coef(b, js2, jr2, fine, rcoef.data(),
-                       resid.wplane.data());
+                       resid.wplane);
       double t1 = prof_now();
       ebcc_cpu_idwt2d_multi_cols(rcoef.data(), resid.h, resid.w,
                                  resid.levels);
@@ -1414,7 +1436,7 @@ int64_t ebcc_cpu_encode_frame(
       if (cm_resid.size() != np) cm_resid.resize(np);
       if (cmr_b != b) {
         resid.recon_coef_masked(b, drop, cm_resid.data(),
-                                resid.wplane.data());
+                                resid.wplane);
       } else {
         uint32_t diff = cmr_drop ^ drop;
         for (int jj = 0; jj < resid.J; ++jj)
@@ -1422,7 +1444,7 @@ int64_t ebcc_cpu_encode_frame(
             int r0, r1;
             resid.stripe_rows(jj, &r0, &r1);
             resid.recon_rows_masked(r0, r1, b + (int)((drop >> jj) & 1u),
-                                    cm_resid.data(), resid.wplane.data());
+                                    cm_resid.data(), resid.wplane);
           }
       }
       cmr_b = b;
