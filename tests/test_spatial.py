@@ -43,16 +43,22 @@ def test_matches_dense_codec(stack, spatial_result):
     dense = FrameCodec(H, W, cfg)
     res_d = dense.encode_error_bounded(stack, np.full(B, 0.5, np.float32),
                                        np.float32(1e-6))
-    # base layer: bit-identical coefficients and selections
+    # base layer: bit-identical coefficients and selections — including
+    # the format-v4 chunk-mask outputs (km/mbits/segs): the mask search's
+    # greedy scan must reach identical verdicts under shard_map or the
+    # emitted containers diverge from the dense codec's
     np.testing.assert_array_equal(np.asarray(res_sp.base_coef),
                                   np.asarray(res_d.base_coef))
     for f in ("mn", "mx", "dc_b", "max_step_b", "base_bits_q",
               "base_bits_pure", "base_feasible_pure", "bs_q", "ks_q",
               "bs_pure", "ks_pure", "skip_residual", "resid_feasible",
-              "max_step_r"):
+              "max_step_r", "km_q", "km_pure", "mbits_q", "mbits_pure",
+              "segs_q", "segs_pure"):
         np.testing.assert_array_equal(
             np.asarray(getattr(res_sp, f)), np.asarray(getattr(res_d, f)),
             err_msg=f)
+    # the fixture must actually exercise the mask path
+    assert (np.asarray(res_sp.km_q) >= 0).any()
     # the residual layer's input is the base reconstruction, whose fused
     # inverse-lifting kernels compile differently under shard_map ->
     # last-ulp value drift: assert closeness, not bytes
@@ -66,6 +72,56 @@ def test_matches_dense_codec(stack, spatial_result):
     bits_sp = np.asarray(res_sp.resid_bits, np.float64)
     bits_d = np.asarray(res_d.resid_bits, np.float64)
     assert np.all(np.abs(bits_sp - bits_d) <= 0.1 * np.maximum(bits_d, 64))
+    # residual v4 twins: same last-ulp drift allowance as resid_bits
+    mb_sp = np.asarray(res_sp.mbits_r, np.float64)
+    mb_d = np.asarray(res_d.mbits_r, np.float64)
+    assert np.all(np.abs(mb_sp - mb_d) <= 0.1 * np.maximum(mb_d, 64))
+
+
+def test_masked_stream_decodes(stack, spatial_result):
+    """Format v4 end-to-end on the mesh: pack the prefix arena, splice the
+    chunk-masked base stream (bp.splice_masked_stream, the normative
+    layout), decode through the masked decode path, and check the bound.
+    Covers the splice/segs/km agreement the selection test alone can't."""
+    import jax.numpy as jnp
+
+    from ebcc_tpu.ops import bitplane as bp
+    sc, res = spatial_result
+    km = np.asarray(res.km_q)
+    skip = np.asarray(res.skip_residual)
+    assert (km >= 0).any()
+    segs = np.asarray(res.segs_q)
+    trunc = np.where(km >= 0, segs.sum(-1), np.asarray(res.base_bits_q))
+    spec = sc.codec.base.spec
+    words, _, _ = bp.encode_batch(
+        jnp.asarray(np.asarray(res.base_coef)),
+        jnp.asarray(trunc, jnp.int32), spec, sc.codec.base.cap_words)
+    words_np = np.asarray(words).copy()
+    mbits = np.asarray(res.mbits_q)
+    for i in range(B):
+        if km[i] < 0:
+            continue
+        raw = words_np[i].astype(">u4").tobytes()[:(int(trunc[i]) + 7) // 8]
+        sb, nbits = bp.splice_masked_stream(raw, segs[i], int(km[i]),
+                                            spec.nchunks)
+        assert nbits == int(mbits[i])
+        buf = sb + b"\x00" * (-len(sb) % 4)
+        wrow = np.frombuffer(buf, dtype=">u4").astype(np.uint32)
+        words_np[i] = 0
+        words_np[i][:len(wrow)] = wrow[:words_np.shape[1]]
+    mask_b = np.where(km >= 0, np.asarray(res.bs_q), -1).astype(np.int32)
+    rc = bp.decode_batch(jnp.asarray(words_np),
+                         jnp.asarray(np.where(km >= 0, mbits, trunc),
+                                     jnp.int32),
+                         jnp.asarray(np.asarray(res.max_step_b)), spec,
+                         mask_plane=jnp.asarray(mask_b),
+                         keep_mask=jnp.asarray(km, np.int32))
+    out = np.asarray(sc.codec._base_recon(rc, jnp.asarray(res.mn),
+                                          jnp.asarray(res.mx),
+                                          jnp.asarray(res.dc_b)))
+    sel = skip & (km >= 0)
+    assert sel.any()
+    assert np.abs(out[sel] - stack[sel]).max() <= 0.5
 
 
 def test_bound_held_from_chosen_truncation(stack, spatial_result):
