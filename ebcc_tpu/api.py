@@ -271,10 +271,26 @@ def _use_cpu_encode(config: EBCCConfig, n_frames: int) -> bool:
     return not _device_alive()
 
 
+def _mask_tail(stream: bytes, nbits: int) -> bytes:
+    """Zero the dangling bits of the final byte past ``nbits``.
+
+    A stream trimmed out of a longer prefix arena would otherwise carry
+    whatever bits followed it in the arena — making the emitted bytes
+    depend on how much arena happened to be packed (e.g. on whether the
+    combined variant was also built) instead of on the selection alone.
+    The decoder reads zeros past the end either way; this pins the BYTES.
+    Mirrored by the native encoder (ebcc_cpu_encoder.cc pack_variant)."""
+    pad = -int(nbits) % 8
+    if pad and stream:
+        return stream[:-1] + bytes([stream[-1] & (0xFF << pad) & 0xFF])
+    return stream
+
+
 def _words_to_bytes(words: np.ndarray, nbits: int) -> bytes:
-    """MSB-first packed uint32 words -> byte stream of ceil(nbits/8) bytes."""
+    """MSB-first packed uint32 words -> byte stream of ceil(nbits/8) bytes
+    with dangling tail bits zeroed."""
     nbytes = (int(nbits) + 7) // 8
-    return words.astype(">u4").tobytes()[:nbytes]
+    return _mask_tail(words.astype(">u4").tobytes()[:nbytes], nbits)
 
 
 def _bytes_to_words(stream: bytes, cap_words: int) -> np.ndarray:
@@ -846,7 +862,8 @@ def _pack_layer_streams(res, codec, rd, layer, trunc):
                 shifts=shifts)
 
         def raw(i, bits):
-            return arena[i, : (int(bits) + 7) // 8].tobytes()
+            return _mask_tail(arena[i, : (int(bits) + 7) // 8].tobytes(),
+                              bits)
     else:
         # guard the bound contract: the word buffers must hold every bit the
         # container will claim (silent tail truncation = silent corruption)

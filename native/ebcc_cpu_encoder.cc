@@ -1072,6 +1072,13 @@ std::vector<uint8_t> pack_variant(uint16_t mode, int h, int w, float mn,
                                   const ResidPart* rp, bool pointwise,
                                   int zstd_level) {
   size_t nbytes = (size_t)((bits + 7) / 8);
+  // zero the dangling bits of the final byte: a stream trimmed out of a
+  // longer prefix arena must not carry the arena's next bits — the
+  // emitted bytes depend on the selection alone (api._mask_tail mirror)
+  std::vector<uint8_t> bs(base_stream, base_stream + nbytes);
+  int pad = (int)((8 - (bits & 7)) & 7);
+  if (pad && nbytes) bs.back() &= (uint8_t)(0xFFu << pad);
+  base_stream = bs.data();
   // final entropy stage on the base stream (api.py pack_variant)
   std::vector<uint8_t> z =
       zstd_pack(base_stream, nbytes, std::min(zstd_level, 10));

@@ -1,5 +1,13 @@
 """Per-stage profiling of the compress/decompress pipeline on the active
-platform.  Prints a JSON dict of stage -> seconds for one batch."""
+platform.  Prints a JSON dict of stage -> seconds for one batch.
+
+Includes an ON-DEVICE stage breakdown of the encode program
+(transform/counts -> truncation bisections -> chunk-mask greedy scans ->
+residual layer), measured as cumulative-prefix jitted programs whose
+deltas attribute device time per stage (XLA may fuse differently per
+prefix; treat deltas as estimates, good to ~10%).  Tunnel gotcha: device
+work is timed by fetching a scalar, never block_until_ready (CLAUDE.md).
+"""
 
 import json
 import os
@@ -10,6 +18,78 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+
+
+def device_stage_breakdown(codec, u, mnb, mxb, target, qbase, reps=3):
+    """Stage -> best seconds, via cumulative-prefix programs."""
+    import jax
+    import jax.numpy as jnp
+
+    from ebcc_tpu.ops import bitplane as bp
+
+    c = codec
+    qb = jnp.float32(qbase)
+
+    def p1(u, mn, mx, target):  # transform + analysis + counts
+        dataq, const, dc, ci = c._hostq_prelude(u, mn, mx)
+        an = bp.analyze(ci, c.base.spec)
+        counts = c._counts(an, c.base)
+        cand = bp.candidate_bits(counts, c.base.spec)
+        return (jnp.sum(cand) + jnp.sum(dataq) +
+                jnp.sum(an.mag) + jnp.sum(dc))
+
+    def _searches(u, mn, mx, target):
+        dataq, const, dc, ci = c._hostq_prelude(u, mn, mx)
+        an = bp.analyze(ci, c.base.spec)
+        counts = c._counts(an, c.base)
+        cand = bp.candidate_bits(counts, c.base.spec)
+
+        def recon_b(rc):
+            return c._base_recon(rc, mn, mx, dc)
+
+        q = c._search_truncation(an, c.base, recon_b, dataq, target, qb,
+                                 cand=cand)
+        pure = c._search_truncation(an, c.base, recon_b, dataq, target,
+                                    jnp.float32(0.0), cand=cand)
+        return dataq, dc, an, counts, recon_b, q, pure
+
+    def p2(u, mn, mx, target):  # + q and pure truncation bisections
+        _, dc, an, counts, _, q, pure = _searches(u, mn, mx, target)
+        return (q[0].sum() + pure[0].sum() + q[3].sum() + pure[3].sum() +
+                q[4].sum() + pure[4].sum())
+
+    def p3(u, mn, mx, target):  # + both chunk-mask greedy scans
+        dataq, dc, an, counts, recon_b, q, pure = _searches(
+            u, mn, mx, target)
+        bits_q, feas_q, maxd_q, bs_q, ks_q = q
+        bits_p, feas_p, _, bs_p, ks_p = pure
+        mq = c._search_mask(an, c.base, recon_b, dataq, target, qb, bs_q,
+                            bits_q, feas_q, counts)
+        mp = c._search_mask(an, c.base, recon_b, dataq, target,
+                            jnp.float32(0.0), bs_p, bits_p, feas_p, counts)
+        return (mq[2].sum() + mp[2].sum() + mq[1].sum() + mp[1].sum() +
+                mq[5].sum() + mp[5].sum())
+
+    def p4(u, mn, mx, target):  # full encode (residual layer + packings)
+        res, meta = c._encode_error_bounded_hostq(u, mn, mx, target, qb)
+        return jnp.sum(meta)
+
+    out = {}
+    prev = None
+    names = ["transform_counts", "truncation_bisections",
+             "mask_greedy_scans", "residual_and_packings"]
+    for name, fn in zip(names, [p1, p2, p3, p4]):
+        jf = jax.jit(fn)
+        float(jf(u, mnb, mxb, target))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(jf(u, mnb, mxb, target))  # scalar fetch = device sync
+            best = min(best, time.perf_counter() - t0)
+        out[f"cum_{name}"] = best
+        out[f"stage_{name}"] = best - (prev or 0.0)
+        prev = best
+    return out
 
 
 def main():
@@ -60,6 +140,17 @@ def main():
                                                  1e-6)
     jax.block_until_ready((res, meta))
     t["1_device_encode_search"] = time.perf_counter() - t0
+
+    # on-device stage breakdown of stage 1 (cumulative-prefix programs)
+    tgt_dev = None
+    try:
+        import jax.numpy as jnp
+        tgt_dev = jnp.asarray(target - maxq)
+        t.update(device_stage_breakdown(codec, jnp.asarray(u),
+                                        jnp.asarray(mnb), jnp.asarray(mxb),
+                                        tgt_dev, 1e-6))
+    except Exception as e:  # breakdown is diagnostic: never kill the run
+        t["device_stage_breakdown_error"] = str(e)[:200]
 
     t0 = time.perf_counter()
     # mirror api.compress: large coefficient forms fetched lazily, and the

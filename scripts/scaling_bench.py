@@ -22,6 +22,47 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def run_procs_mode(args):
+    """Cross-PROCESS scaling row: the same sharded encode through
+    scripts/launch_multihost.py at 1 and N processes (jax.distributed,
+    collectives crossing the process boundary).  This is the honest
+    maximum scaling artifact this 1-chip/1-core environment can produce —
+    on a shared-core host the efficiency number measures core contention,
+    not partitioning quality (same caveat as the virtual mesh)."""
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    launcher = os.path.join(here, "launch_multihost.py")
+    rows = []
+    for nproc in args.procs:
+        cmd = [sys.executable, launcher, "--local", str(nproc),
+               "--devices-per-proc", "1",
+               "--frames", str(args.frames_per_device * max(args.procs)),
+               "--size", str(args.size[0]), str(args.size[1]),
+               "--error", str(args.error)]
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=1800)
+        line = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("{")]
+        if r.returncode != 0 or not line:
+            print(json.dumps({"processes": nproc, "error":
+                              (r.stderr or "no output")[-300:]}))
+            continue
+        rows.append(json.loads(line[-1]))
+        print(json.dumps(rows[-1]))
+    if len(rows) >= 2:
+        base = rows[0]["grid_points_per_s"] / rows[0]["processes"]
+        for row in rows[1:]:
+            eff = row["grid_points_per_s"] / (base * row["processes"])
+            print(json.dumps({
+                "scaling": f"{rows[0]['processes']}->"
+                           f"{row['processes']} processes",
+                "efficiency": round(eff, 3),
+                "caveat": "virtual CPU mesh on a shared-core host: "
+                          "measures core contention, not partitioning",
+            }))
+    return rows
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
@@ -30,7 +71,13 @@ def main():
     p.add_argument("--error", type=float, default=0.5)
     p.add_argument("--force-cpu-mesh", action="store_true",
                    help="run on a virtual CPU mesh (for hosts with 1 chip)")
+    p.add_argument("--procs", type=int, nargs="+", default=None,
+                   help="cross-process mode: run launch_multihost.py at "
+                        "each N and report the scaling row")
     args = p.parse_args()
+
+    if args.procs:
+        return run_procs_mode(args)
 
     if args.force_cpu_mesh:
         os.environ["JAX_PLATFORMS"] = "cpu"
