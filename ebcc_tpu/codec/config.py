@@ -77,12 +77,30 @@ class EBCCConfig:
     # scripts/stripe_adaptive_study.py).  Streams stay decodable by any v4
     # decoder; disable to emit pure-prefix streams only.
     use_chunk_mask: bool = True
+    # chunk-mask search rule (format v4 semantics are unaffected — any
+    # keep-mask is decodable; this selects WHICH mask the encoder picks):
+    #   "greedy": sequential accept scan over chunks (J serial recon
+    #     evals per selection — the reference-style exact greedy).
+    #   "union": all J single-drop candidates evaluated in ONE batched
+    #     pass, then their feasible union (or the best feasible single if
+    #     the union violates the bound).  Collapses the mask stage's
+    #     serial depth from J recon evals to 2 — the device-side win; CR
+    #     within noise of greedy on ERA5 fields (BENCHMARKS.md).
+    # Both backends implement both rules bit-identically
+    # (tests/test_cpu_encoder.py); changing the rule changes blobs.
+    mask_search: str = "greedy"
     # Pallas fused level-0 segment counts (ops/pallas_kernels.py): a pure
     # scheduling change — counts (and therefore streams) are bit-identical
-    # to the jnp path.  Default follows EBCC_PALLAS=1; off until the
-    # on-chip A/B (BENCHMARKS.md) shows a win on the target toolchain.
-    use_pallas_counts: bool = dataclasses.field(
-        default_factory=lambda: os.environ.get("EBCC_PALLAS") == "1")
+    # to the jnp path.  None = auto: ON when the executing backend is a
+    # real TPU (the round-4 on-chip A/B measured 1.20x on the op, 1.02x
+    # end-to-end, byte-identical — BENCHMARKS.md), OFF elsewhere (Mosaic
+    # is a TPU-only path; CPU meshes would pay interpret-mode overhead).
+    # EBCC_PALLAS=1/0 forces it; resolved lazily at trace time so merely
+    # constructing a config never initialises a backend (tunnel-outage
+    # safety).
+    use_pallas_counts: bool | None = dataclasses.field(
+        default_factory=lambda: {"1": True, "0": False}.get(
+            os.environ.get("EBCC_PALLAS", ""), None))
     zstd_level: int = 19            # residual entropy stage (ref uses 22)
     max_batch: int = 8              # frames per device dispatch
     prefetch_batches: int = 2       # device batches in flight (pipelining)

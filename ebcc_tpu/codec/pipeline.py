@@ -283,11 +283,16 @@ class FrameCodec:
     def _counts(self, an, geom):
         """segment_counts with the codec's Pallas scheduling flag applied.
 
-        On non-TPU backends the kernel runs in interpret mode (identical
-        results; used by the CPU test meshes) — Mosaic compilation is a
-        TPU-only path."""
+        ``use_pallas_counts=None`` (the default) resolves here, at trace
+        time: ON iff the executing backend is a real TPU.  A forced-on
+        flag on non-TPU backends runs the kernel in interpret mode
+        (identical results; used by the CPU test meshes) — Mosaic
+        compilation is a TPU-only path."""
         use = self.config.use_pallas_counts
-        interp = use and jax.default_backend() != "tpu"
+        on_tpu = jax.default_backend() == "tpu"
+        if use is None:
+            use = on_tpu
+        interp = use and not on_tpu
         return bp.segment_counts(an, geom.spec, use_pallas=use,
                                  pallas_interpret=interp)
 
@@ -425,13 +430,37 @@ class FrameCodec:
         def ok_of(maxd, viol):
             return jnp.where(qallow > 0, viol <= qallow, maxd <= 0)
 
-        def body(drop, jj):
-            cand = drop.at[:, jj].set(True)
-            ok = ok_of(*stats_of(cand)) & feasible
-            return jnp.where(ok[:, None], cand, drop), None
+        if self.config.mask_search == "union":
+            # all J single-drop candidates in ONE batched pass (serial
+            # depth 2 instead of J): feasible union, else best feasible
+            # single by final-plane bit saving (ties -> lowest chunk)
+            eye = jnp.eye(j, dtype=bool)
+            maxd_s, viol_s = jax.vmap(
+                lambda m: stats_of(jnp.broadcast_to(m, (nb, j))),
+                out_axes=(1, 1))(eye)              # [B, J]
+            ok_s = ok_of(maxd_s, viol_s) & feasible[:, None]
+            maxd_u, viol_u = stats_of(ok_s)
+            ok_u = ok_of(maxd_u, viol_u) & feasible
+            save = segs[:, 2:2 + j] + segs[:, 2 + j:]
+            bestj = jnp.argmax(jnp.where(ok_s, save, -1), axis=-1)
+            single = jnp.zeros((nb, j), bool).at[
+                jnp.arange(nb), bestj].set(jnp.any(ok_s, axis=-1))
+            drop = jnp.where(ok_u[:, None], ok_s, single)
+            # final-choice max excess without another serial eval: the
+            # union's, or the chosen single's (bit-identical to an eval
+            # of that drop set); unused when no chunk dropped
+            maxd_m = jnp.where(
+                ok_u, maxd_u,
+                jnp.take_along_axis(maxd_s, bestj[:, None], 1)[:, 0])
+        else:
+            def body(drop, jj):
+                cand = drop.at[:, jj].set(True)
+                ok = ok_of(*stats_of(cand)) & feasible
+                return jnp.where(ok[:, None], cand, drop), None
 
-        drop, _ = jax.lax.scan(body, jnp.zeros((nb, j), bool),
-                               jnp.arange(j))
+            drop, _ = jax.lax.scan(body, jnp.zeros((nb, j), bool),
+                                   jnp.arange(j))
+            maxd_m, _ = stats_of(drop)
         keep = ~drop
         kept_bits = jnp.sum(
             jnp.where(keep, segs[:, 2:2 + j] + segs[:, 2 + j:], 0), axis=-1)
@@ -440,7 +469,6 @@ class FrameCodec:
                      << jnp.arange(j, dtype=jnp.int32)[None, :], axis=-1)
         prefix_bits = jnp.asarray(prefix_bits, jnp.int32)
         use = feasible & jnp.any(drop, axis=-1) & (mbits < prefix_bits)
-        maxd_m, _ = stats_of(drop)
         return (use, jnp.where(use, km, -1),
                 jnp.where(use, mbits, prefix_bits), maxd_m, drop, segs)
 

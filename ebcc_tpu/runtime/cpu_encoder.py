@@ -85,7 +85,10 @@ def compress(data, config: EBCCConfig | None = None, *, error_bound=None,
             ctypes.c_float(error), ctypes.c_float(config.base_cr),
             ctypes.c_float(residual_cr), ctypes.c_float(qbase),
             ctypes.c_int(disable_pure),
-            ctypes.c_int(1 if config.use_chunk_mask else 0),
+            # 0 = masking off, 1 = greedy scan, 2 = union rule — must
+            # track config.mask_search or backends emit different blobs
+            ctypes.c_int(0 if not config.use_chunk_mask
+                         else (2 if config.mask_search == "union" else 1)),
             ctypes.c_int(config.base_levels),
             ctypes.c_int(config.residual_levels),
             ctypes.c_int(config.nchunks), ctypes.c_int(config.base_nplanes),

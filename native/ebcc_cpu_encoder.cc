@@ -550,6 +550,16 @@ struct LayerEnc {
     return cb[g + 2 * jj + 1] == 0 && cb[g + 2 * J + jj] == 0;
   }
 
+  // plane-b bits chunk jj contributes (sig+sign and refine chunk sizes —
+  // the per-chunk entries of bp.mask_segments)
+  int64_t chunk_bits(int b, int jj) const {
+    int64_t s = sigpair_cum[(size_t)b * J + jj] -
+                (jj ? sigpair_cum[(size_t)b * J + jj - 1] : 0);
+    int64_t rf = ref_cum[(size_t)b * J + jj] -
+                 (jj ? ref_cum[(size_t)b * J + jj - 1] : 0);
+    return s + rf;
+  }
+
   // closed-form reconstruction with per-stripe drops at plane b
   // (ops/bitplane.py recon_masked): dropped stripes stay at plane b + 1
   // precision, kept stripes complete plane b.  ``wdiv`` (optional) fuses
@@ -897,6 +907,11 @@ struct MaskResult {
 // its stats are exact.
 using MaskMemo = std::vector<std::pair<uint64_t, ErrStats>>;
 
+// ``use_chunk_mask``: 0 = masking off, 1 = greedy accept scan, 2 = the
+// "union" rule (pipeline.py mask_search="union"): every single-drop
+// candidate judged independently, then their feasible union, falling back
+// to the best feasible single (by final-plane bit saving, ties -> lowest
+// chunk) when the union violates the rule.
 template <typename EvalM>
 MaskResult search_mask(const LayerEnc& L, float qa, const SearchResult& sel,
                        int use_chunk_mask, EvalM&& evalm,
@@ -919,25 +934,51 @@ MaskResult search_mask(const LayerEnc& L, float qa, const SearchResult& sel,
     memo.emplace_back(key, e);
     return e;
   };
-  uint32_t drop = 0;
   const uint32_t all = (1u << L.J) - 1;
-  for (int jj = 0; jj < L.J; ++jj) {
-    // inert chunk: the masked recon equals the accepted set's, so the JAX
-    // greedy's eval necessarily returns the accepted set's (feasible)
-    // stats — same verdict without the eval
-    if (L.chunk_inert(sel.bstar, jj)) {
-      drop |= 1u << jj;
-      continue;
+  // prune: masked_bits is monotone decreasing in the drop set, so when
+  // even keeping nothing cannot get below the prefix length, ``use`` is
+  // certainly false — every output is then independent of the evals
+  // (JAX runs them; the bytes agree because the mask is unused)
+  if (L.masked_bits(sel.bstar, 0u) >= sel.bits) return m;
+  uint32_t drop = 0;
+  if (use_chunk_mask == 2) {  // union rule
+    uint32_t fmask = 0;
+    for (int jj = 0; jj < L.J; ++jj) {
+      // inert chunk: recon unchanged -> the accepted-set (feasible)
+      // stats; JAX evaluates and reaches the same verdict
+      if (L.chunk_inert(sel.bstar, jj) ||
+          ok_rule(eval_m(1u << jj)))
+        fmask |= 1u << jj;
     }
-    // prune: masked_bits is monotone decreasing in the drop set, so when
-    // even dropping every remaining chunk cannot get below the prefix
-    // length, ``use`` is certainly false — every output of this search is
-    // then independent of the remaining evals (JAX runs them; the bytes
-    // agree because the mask is unused on both sides)
-    uint32_t rest = all & (~0u << jj);
-    if (L.masked_bits(sel.bstar, all & ~(drop | rest)) >= sel.bits) break;
-    uint32_t cand = drop | (1u << jj);
-    if (ok_rule(eval_m(cand))) drop = cand;
+    if (fmask != 0) {
+      if (ok_rule(eval_m(fmask))) {
+        drop = fmask;
+      } else {
+        int bestj = 0;
+        int64_t best = -1;
+        for (int jj = 0; jj < L.J; ++jj)
+          if ((fmask >> jj) & 1u) {
+            int64_t s = L.chunk_bits(sel.bstar, jj);
+            if (s > best) {
+              best = s;
+              bestj = jj;
+            }
+          }
+        drop = 1u << bestj;
+      }
+    }
+  } else {  // greedy accept scan
+    for (int jj = 0; jj < L.J; ++jj) {
+      if (L.chunk_inert(sel.bstar, jj)) {
+        drop |= 1u << jj;
+        continue;
+      }
+      uint32_t rest = all & (~0u << jj);
+      if (L.masked_bits(sel.bstar, all & ~(drop | rest)) >= sel.bits)
+        break;
+      uint32_t cand = drop | (1u << jj);
+      if (ok_rule(eval_m(cand))) drop = cand;
+    }
   }
   uint32_t keep = ((1u << L.J) - 1) & ~drop;
   int64_t mb = L.masked_bits(sel.bstar, keep);
@@ -1171,6 +1212,8 @@ void ebcc_cpu_debug_base_rec(const float* data, int h, int w, int levels,
 // target: per-point error targets [h, w] for POINTWISE mode (already scaled
 // by ratio * (1 - eps)); NULL otherwise.
 // qbase: base-layer feasibility quantile (EBCC_INIT_BASE_ERROR_QUANTILE).
+// use_chunk_mask: 0 = off, 1 = greedy mask search, 2 = union rule
+// (config.mask_search; see search_mask above).
 // Returns bytes written to out, or -1 bad input / -2 out_cap too small /
 // -3 coefficient overflow (nplanes too small for this data).
 int64_t ebcc_cpu_encode_frame(

@@ -150,3 +150,27 @@ def test_multi_q_masked_identical_to_per_q(field):
     for q, b in zip(qs, blobs):
         single = api.compress(field, cfg, qbase=q)
         assert b == single, f"q={q}"
+
+
+def test_union_mask_search_cross_backend(era5_frame):
+    """mask_search="union" (the batched device rule): byte-identical
+    across backends, bound held, and the decoder needs no knowledge of
+    which rule picked the mask (format v4 semantics are rule-free)."""
+    import dataclasses
+
+    import ebcc_tpu
+    from ebcc_tpu.runtime import cpu_encoder
+
+    rng = np.random.default_rng(7)
+    crop = era5_frame[:96, :160]
+    d = np.stack([crop + rng.normal(0, 0.3, crop.shape).astype(np.float32)
+                  for _ in range(3)])
+    cfg = EBCCConfig(mode=ResidualMode.MAX_ERROR, error=0.5, base_cr=100,
+                     max_batch=3, mask_search="union",
+                     encode_backend="device")
+    blob = ebcc_tpu.compress(d, cfg)
+    blob_cpu = cpu_encoder.compress(
+        d, dataclasses.replace(cfg, encode_backend="cpu"))
+    assert blob == blob_cpu
+    rec = ebcc_tpu.decompress(blob, cfg)
+    assert np.abs(rec - d).max() <= 0.5
