@@ -40,7 +40,10 @@ constexpr float RECIP_XI = (float)(1.0 / (double)XI);
 constexpr float RECIP_U16 = (float)(1.0 / (double)U16_MAX);
 constexpr float RECIP_RS = (float)(1.0 / (double)RESID_SCALE);
 
-// in-place inverse lifting of one contiguous length-n sequence ([s | d])
+// in-place inverse lifting of one contiguous length-n sequence ([s | d]).
+// The boundary iterations are PEELED out of each lifting loop so the
+// middle loops carry no conditionals and vectorise (same formula on the
+// same operands per element — bit-identical to the unswitched form).
 void idwt1d(float* x, int n, float* tmp) {
   int n2 = n / 2;
   float* s = tmp;
@@ -48,26 +51,22 @@ void idwt1d(float* x, int n, float* tmp) {
   for (int i = 0; i < n2; ++i) s[i] = x[i] * RECIP_XI;  // x / XI
   for (int i = 0; i < n2; ++i) d[i] = x[n2 + i] * XI;
   // s -= DELTA * (d + reflect_prev(d))
-  float prev = d[1 < n2 ? 1 : 0];
-  for (int i = 0; i < n2; ++i) {
-    float dp = i == 0 ? prev : d[i - 1];
-    s[i] = std::fma(-DELTA, d[i] + dp, s[i]);
-  }
+  s[0] = std::fma(-DELTA, d[0] + d[1 < n2 ? 1 : 0], s[0]);
+  for (int i = 1; i < n2; ++i)
+    s[i] = std::fma(-DELTA, d[i] + d[i - 1], s[i]);
   // d -= GAMMA * (s + reflect_next(s))
-  for (int i = 0; i < n2; ++i) {
-    float sn = i + 1 < n2 ? s[i + 1] : s[n2 - 2];
-    d[i] = std::fma(-GAMMA, s[i] + sn, d[i]);
-  }
+  for (int i = 0; i + 1 < n2; ++i)
+    d[i] = std::fma(-GAMMA, s[i] + s[i + 1], d[i]);
+  d[n2 - 1] = std::fma(-GAMMA, s[n2 - 1] + s[n2 >= 2 ? n2 - 2 : 0],
+                       d[n2 - 1]);
   // even = s - BETA * (d + reflect_prev(d))
-  for (int i = 0; i < n2; ++i) {
-    float dp = i == 0 ? d[1 < n2 ? 1 : 0] : d[i - 1];
-    s[i] = std::fma(-BETA, d[i] + dp, s[i]);  // s now holds even
-  }
+  s[0] = std::fma(-BETA, d[0] + d[1 < n2 ? 1 : 0], s[0]);
+  for (int i = 1; i < n2; ++i)
+    s[i] = std::fma(-BETA, d[i] + d[i - 1], s[i]);  // s now holds even
   // odd = d - ALPHA * (even + edge_next(even))
-  for (int i = 0; i < n2; ++i) {
-    float en = i + 1 < n2 ? s[i + 1] : s[n2 - 1];
-    d[i] = std::fma(-ALPHA, s[i] + en, d[i]);  // d now holds odd
-  }
+  for (int i = 0; i + 1 < n2; ++i)
+    d[i] = std::fma(-ALPHA, s[i] + s[i + 1], d[i]);
+  d[n2 - 1] = std::fma(-ALPHA, s[n2 - 1] + s[n2 - 1], d[n2 - 1]);
   for (int i = 0; i < n2; ++i) {
     x[2 * i] = s[i];
     x[2 * i + 1] = d[i];

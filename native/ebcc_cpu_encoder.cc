@@ -112,26 +112,24 @@ void fdwt1d(float* x, int n, float* tmp) {
     s[i] = x[2 * i];
     d[i] = x[2 * i + 1];
   }
+  // Boundary iterations peeled so the middle loops vectorise (identical
+  // per-element arithmetic; see idwt1d in ebcc_cpu_decoder.cc).
   // d = odd + ALPHA * (even + edge_next(even))
-  for (int i = 0; i < n2; ++i) {
-    float en = (i + 1 < n2) ? s[i + 1] : s[n2 - 1];
-    d[i] = std::fma(ALPHA, s[i] + en, d[i]);
-  }
+  for (int i = 0; i + 1 < n2; ++i)
+    d[i] = std::fma(ALPHA, s[i] + s[i + 1], d[i]);
+  d[n2 - 1] = std::fma(ALPHA, s[n2 - 1] + s[n2 - 1], d[n2 - 1]);
   // s = even + BETA * (d + reflect_prev(d))
-  for (int i = 0; i < n2; ++i) {
-    float dp = (i == 0) ? d[1] : d[i - 1];
-    s[i] = std::fma(BETA, d[i] + dp, s[i]);
-  }
+  s[0] = std::fma(BETA, d[0] + d[1], s[0]);
+  for (int i = 1; i < n2; ++i)
+    s[i] = std::fma(BETA, d[i] + d[i - 1], s[i]);
   // d += GAMMA * (s + reflect_next(s))
-  for (int i = 0; i < n2; ++i) {
-    float sn = (i + 1 < n2) ? s[i + 1] : s[n2 - 2];
-    d[i] = std::fma(GAMMA, s[i] + sn, d[i]);
-  }
+  for (int i = 0; i + 1 < n2; ++i)
+    d[i] = std::fma(GAMMA, s[i] + s[i + 1], d[i]);
+  d[n2 - 1] = std::fma(GAMMA, s[n2 - 1] + s[n2 - 2], d[n2 - 1]);
   // s += DELTA * (d + reflect_prev(d))
-  for (int i = 0; i < n2; ++i) {
-    float dp = (i == 0) ? d[1] : d[i - 1];
-    s[i] = std::fma(DELTA, d[i] + dp, s[i]);
-  }
+  s[0] = std::fma(DELTA, d[0] + d[1], s[0]);
+  for (int i = 1; i < n2; ++i)
+    s[i] = std::fma(DELTA, d[i] + d[i - 1], s[i]);
   for (int i = 0; i < n2; ++i) {
     x[i] = s[i] * XI;
     x[n2 + i] = d[i] * RECIP_XI;  // x / XI, as XLA compiles it
