@@ -84,8 +84,13 @@ class EBCCConfig:
     #   "union": all J single-drop candidates evaluated in ONE batched
     #     pass, then their feasible union (or the best feasible single if
     #     the union violates the bound).  Collapses the mask stage's
-    #     serial depth from J recon evals to 2 — the device-side win; CR
-    #     within noise of greedy on ERA5 fields (BENCHMARKS.md).
+    #     serial depth from J recon evals to 2.
+    # Greedy is the default BY MEASUREMENT: the round-5 on-chip A/B
+    # (scripts/mask_ab.py, BENCHMARKS.md) ran union at 0.92x the speed of
+    # greedy AND -4.7% CR at the bench config — the chip is bandwidth-
+    # bound on these evals, so the batched pass's Jx memory traffic costs
+    # more than the serial depth it saves.  "union" remains for hosts
+    # where dispatch latency, not bandwidth, dominates.
     # Both backends implement both rules bit-identically
     # (tests/test_cpu_encoder.py); changing the rule changes blobs.
     mask_search: str = "greedy"
