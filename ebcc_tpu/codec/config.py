@@ -106,6 +106,17 @@ class EBCCConfig:
     use_pallas_counts: bool | None = dataclasses.field(
         default_factory=lambda: {"1": True, "0": False}.get(
             os.environ.get("EBCC_PALLAS", ""), None))
+    # Fused Pallas candidate evaluation (ops/pallas_eval.py): the
+    # truncation/mask searches' (recon + inverse transform + error reduce)
+    # unit runs VMEM-resident — identical f32 arithmetic, ~2 HBM passes
+    # per evaluation instead of ~9 (round-5 on-chip A/B: BENCHMARKS.md).
+    # None = auto: ON on real TPU for dense codecs with scalar per-frame
+    # targets, OFF elsewhere (pointwise target fields and the spatially-
+    # sharded transform keep the jnp path).  EBCC_PALLAS_EVAL=1/0 forces;
+    # resolved lazily at trace time (no backend init at config time).
+    use_pallas_eval: bool | None = dataclasses.field(
+        default_factory=lambda: {"1": True, "0": False}.get(
+            os.environ.get("EBCC_PALLAS_EVAL", ""), None))
     zstd_level: int = 19            # residual entropy stage (ref uses 22)
     max_batch: int = 8              # frames per device dispatch
     prefetch_batches: int = 2       # device batches in flight (pipelining)

@@ -30,10 +30,84 @@ import numpy as np
 
 from ..ops import bitplane as bp
 from ..ops import dwt, frame, weights
+from ..ops import pallas_eval as pe
 from .config import EBCCConfig, ResidualMode
 
 U16_MAX = 65535.0
 RESID_SCALE = 255.0  # reference residual quantisation scale (spiht_re.h:12)
+
+# use_pallas_eval=None resolves to this on real TPU.  Flipped True after
+# the round-5 on-chip A/B (scripts/pallas_eval_ab.py) confirmed Mosaic
+# lowering, container byte identity AND a 1.98x full-encode speedup
+# (0.438 s -> 0.221 s, B=16 — 75.0 M pts/s device-only; BENCHMARKS.md).
+# The gate exists because interpret-mode tests cannot catch hardware
+# lowering failures (the round-3 counts-kernel lesson).
+_EVAL_AUTO_ON_TPU = True
+
+
+class _Eval:
+    """Candidate-evaluation backend shared by the truncation and chunk-mask
+    searches: reconstruct the coefficients at a (plane, chunks) or
+    (plane, drop-mask) candidate, inverse transform, reduce to
+    (max excess, violation fraction).
+
+    ``kernel`` is the argument dict prepared by
+    :meth:`FrameCodec._make_eval` when the fused Pallas evaluation applies,
+    else None (pure-jnp path).  The kernel replicates the jnp formulas op
+    for op; agreement is at DECISION level (same feasibility verdicts,
+    byte-identical containers — tests/test_pallas_eval.py + the on-chip
+    A/B) rather than guaranteed-bitwise stats, because compiler FMA
+    contraction already moves either path by ~1 ulp between fusion
+    contexts.  Likewise the kernel's violation fraction count * (1/n) vs
+    the jnp path's ``jnp.mean``: both compare as integer counts against
+    thresholds far from ulp boundaries (the native encoder computes this
+    fraction in double, ebcc_cpu_encoder.cc::ErrStats, same class of
+    equivalence).
+    """
+
+    def __init__(self, an, geom, recon_fn, data_ref, target, kernel=None):
+        self.an, self.geom = an, geom
+        self.recon_fn, self.data_ref = recon_fn, data_ref
+        self.tgt3 = target if target.ndim == 3 else target[:, None, None]
+        self.kernel = kernel
+
+    def _jnp(self, rec):
+        err = jnp.abs(self.data_ref - self.recon_fn(rec)) - self.tgt3
+        return (jnp.max(err, axis=(-2, -1)),
+                jnp.mean(err > 0, axis=(-2, -1)))
+
+    def _kstats(self, mode, b, js=None, jr=None, dropmask=None):
+        k = self.kernel
+        maxd, cnt = pe.eval_stats(
+            k["ci"], k["ref"], b, kind=k["kind"], mode=mode,
+            levels=k["levels"], nchunks=k["nchunks"], h=k["h"], w=k["w"],
+            js=js, jr=jr, dropmask=dropmask, dc=k["dc"], lo=k["lo"],
+            hi=k["hi"], tgt=k["tgt"], base_rec=k["base_rec"],
+            interpret=k["interpret"])
+        return maxd, cnt * k["inv_n"]
+
+    def trunc(self, b, js=None, jr=None):
+        """Stats at a prefix candidate (None js/jr = plane complete)."""
+        if self.kernel is not None:
+            j = self.geom.spec.nchunks
+            return self._kstats("trunc", b,
+                                js=j if js is None else js,
+                                jr=j if jr is None else jr)
+        rec = bp.recon_truncated(self.an, b, sig_chunks=js,
+                                 refine_chunks=jr, spec=self.geom.spec)
+        return self._jnp(rec)
+
+    def masked(self, b, drop):
+        """Stats at a chunk-mask candidate (``drop`` [B, J] bool)."""
+        if self.kernel is not None:
+            dm = jnp.sum(drop.astype(jnp.int32) <<
+                         jnp.arange(drop.shape[1], dtype=jnp.int32)[None],
+                         axis=-1)
+            return self._kstats("masked", b, dropmask=dm)
+        return self.masked_jnp(b, drop)
+
+    def masked_jnp(self, b, drop):
+        return self._jnp(bp.recon_masked(self.an, b, drop, self.geom.spec))
 
 
 class LayerGeom(NamedTuple):
@@ -319,6 +393,43 @@ class FrameCodec:
         return (jnp.max(err, axis=(-2, -1)),
                 jnp.mean(err > 0, axis=(-2, -1)))
 
+    def _make_eval(self, an, geom, recon_fn, data_ref, target, ci=None,
+                   kind=None, dc=None, lo=None, hi=None, base_rec=None):
+        """Build the (recon at candidate -> inverse transform -> error
+        reduce) backend the searches evaluate candidates through.
+
+        When the fused Pallas kernel applies (ops/pallas_eval.py: real-TPU
+        backend or forced flag, dense transforms, scalar per-frame
+        targets, supported geometry, raw integer coefficients available),
+        each evaluation runs VMEM-resident — identical f32 arithmetic,
+        ~2 HBM passes instead of ~9.  Otherwise (CPU meshes, pointwise
+        target fields, the spatially-sharded codec whose transform is the
+        halo-exchange one) evaluations take the jnp path unchanged.
+        """
+        use = self.config.use_pallas_eval
+        on_tpu = jax.default_backend() == "tpu"
+        if use is None:
+            use = on_tpu and _EVAL_AUTO_ON_TPU
+        k = None
+        if (use and ci is not None and kind is not None
+                and target.ndim == 1
+                and pe.supported(geom.hp, geom.wp, geom.levels)
+                and type(self)._idwt is FrameCodec._idwt):
+            hp, wp = geom.hp, geom.wp
+
+            def pad(x):
+                return jnp.pad(x, ((0, 0), (0, hp - x.shape[1]),
+                                   (0, wp - x.shape[2])))
+
+            k = dict(ci=ci, ref=pad(data_ref), kind=kind, dc=dc, lo=lo,
+                     hi=hi, tgt=target,
+                     base_rec=None if base_rec is None else pad(base_rec),
+                     levels=geom.levels, nchunks=geom.spec.nchunks,
+                     h=self.h, w=self.w,
+                     inv_n=np.float32(1.0 / (self.h * self.w)),
+                     interpret=not on_tpu)
+        return _Eval(an, geom, recon_fn, data_ref, target, k)
+
     @staticmethod
     def _bisect(n, feasible_at):
         """Per-frame first index in [0, n) where ``feasible_at`` holds
@@ -341,17 +452,19 @@ class FrameCodec:
         return jnp.minimum(lo, n - 1)
 
     def _search_truncation(self, an, geom, recon_fn, data_ref, target,
-                           qallow, cand=None):
+                           qallow, cand=None, ev=None):
         """Smallest truncation whose violation fraction <= qallow.
 
         Returns (bits [B], feasible [B], maxdiff at choice [B], bstar,
         kstar).  ``cand`` optionally carries the precomputed candidate-bits
-        table so several selections share it.
+        table so several selections share it; ``ev`` the shared candidate
+        evaluator (:meth:`_make_eval`), jnp-path default.
         """
         if cand is None:
             counts = self._counts(an, geom)
             cand = bp.candidate_bits(counts, geom.spec)  # [B, P, 2J]
-        tgt = target if target.ndim == 3 else target[:, None, None]
+        if ev is None:
+            ev = self._make_eval(an, geom, recon_fn, data_ref, target)
         p = geom.spec.nplanes
         j = geom.spec.nchunks
 
@@ -360,19 +473,16 @@ class FrameCodec:
 
         # coarse: first feasible plane-complete candidate (scan order:
         # index q is plane p-1-q)
-        pstar = self._bisect(p, lambda idx: ok_of(*self._stats_at(
-            an, geom, recon_fn, data_ref, tgt, p - 1 - idx)))
+        pstar = self._bisect(p, lambda idx: ok_of(*ev.trunc(p - 1 - idx)))
         bstar = p - 1 - pstar
-        maxd_p, viol_p = self._stats_at(an, geom, recon_fn, data_ref, tgt,
-                                        bstar)
+        maxd_p, viol_p = ev.trunc(bstar)
         any_ok = ok_of(maxd_p, viol_p)
 
         # fine: first feasible chunk candidate inside plane bstar
         def fine(idx):
             js = jnp.where(idx < j, idx + 1, j)
             jr = jnp.where(idx < j, 0, idx - j + 1)
-            return self._stats_at(an, geom, recon_fn, data_ref, tgt, bstar,
-                                  js=js, jr=jr)
+            return ev.trunc(bstar, js=js, jr=jr)
 
         kstar = self._bisect(2 * j, lambda idx: ok_of(*fine(idx)))
         maxd_f, viol_f = fine(kstar)
@@ -405,14 +515,13 @@ class FrameCodec:
                 geom.spec.nchunks <= 16)  # keep mask is u16 in the header
 
     def _search_mask(self, an, geom, recon_fn, data_ref, target, qallow,
-                     bstar, prefix_bits, feasible, counts):
+                     bstar, prefix_bits, feasible, counts, ev=None):
         """Greedy chunk mask of plane ``bstar``.  Returns (use [B] bool,
         km [B] i32 keep bitmask or -1, mbits [B] final bits, maxd_m [B]
         masked max-excess, drop [B, J] bool, segs [B, 2+2J])."""
         spec = geom.spec
         j = spec.nchunks
         nb = an.mag.shape[0]
-        tgt = target if target.ndim == 3 else target[:, None, None]
         segs = bp.mask_segments(counts, bstar, spec)
         if not self._mask_enabled(geom):
             off = jnp.zeros(nb, bool)
@@ -420,12 +529,11 @@ class FrameCodec:
                     jnp.asarray(prefix_bits, jnp.int32),
                     jnp.zeros(nb, jnp.float32), jnp.zeros((nb, j), bool),
                     segs)
+        if ev is None:
+            ev = self._make_eval(an, geom, recon_fn, data_ref, target)
 
         def stats_of(drop):
-            rec = bp.recon_masked(an, bstar, drop, spec)
-            err = jnp.abs(data_ref - recon_fn(rec)) - tgt
-            return (jnp.max(err, axis=(-2, -1)),
-                    jnp.mean(err > 0, axis=(-2, -1)))
+            return ev.masked(bstar, drop)
 
         def ok_of(maxd, viol):
             return jnp.where(qallow > 0, viol <= qallow, maxd <= 0)
@@ -434,9 +542,11 @@ class FrameCodec:
             # all J single-drop candidates in ONE batched pass (serial
             # depth 2 instead of J): feasible union, else best feasible
             # single by final-plane bit saving (ties -> lowest chunk)
+            # (jnp evaluation path: the vmapped all-candidates pass has no
+            # kernel counterpart — and the on-chip A/B picked greedy anyway)
             eye = jnp.eye(j, dtype=bool)
             maxd_s, viol_s = jax.vmap(
-                lambda m: stats_of(jnp.broadcast_to(m, (nb, j))),
+                lambda m: ev.masked_jnp(bstar, jnp.broadcast_to(m, (nb, j))),
                 out_axes=(1, 1))(eye)              # [B, J]
             ok_s = ok_of(maxd_s, viol_s) & feasible[:, None]
             maxd_u, viol_u = stats_of(ok_s)
@@ -565,19 +675,22 @@ class FrameCodec:
 
         counts_b = self._counts(an_b, self.base)
         cand_b = bp.candidate_bits(counts_b, self.base.spec)
+        ev_b = self._make_eval(an_b, self.base, recon_b, data_ref, target,
+                               ci=ci, kind="base", dc=dc, lo=mn, hi=mx)
         bits_q, feas_q, maxd_q, bs_q, ks_q = self._search_truncation(
-            an_b, self.base, recon_b, data_ref, target, qbase, cand=cand_b)
+            an_b, self.base, recon_b, data_ref, target, qbase, cand=cand_b,
+            ev=ev_b)
         # pure fallback: same embedded stream, quantile target 1.0
         # (j2k_codec.h:668-695) — just another prefix of the same arena.
         bits_pure, feas_pure, _, bs_pure, ks_pure = self._search_truncation(
             an_b, self.base, recon_b, data_ref, target, jnp.float32(0.0),
-            cand=cand_b)
+            cand=cand_b, ev=ev_b)
         use_mq, km_q, mbits_q, maxd_qm, drop_q, segs_q = self._search_mask(
             an_b, self.base, recon_b, data_ref, target, qbase, bs_q, bits_q,
-            feas_q, counts_b)
+            feas_q, counts_b, ev=ev_b)
         _, km_pure, mbits_pure, _, _, segs_pure = self._search_mask(
             an_b, self.base, recon_b, data_ref, target, jnp.float32(0.0),
-            bs_pure, bits_pure, feas_pure, counts_b)
+            bs_pure, bits_pure, feas_pure, counts_b, ev=ev_b)
 
         # the decoder's view of the base layer is the MASKED reconstruction
         # when the mask wins; the residual must be computed against it
@@ -598,12 +711,15 @@ class FrameCodec:
             return base_rec + self._resid_recon(rc, rmin, rmax, dcr)
 
         counts_r = self._counts(an_r, self.resid)
+        ev_r = self._make_eval(an_r, self.resid, recon_r, data_ref, target,
+                               ci=cir, kind="resid", dc=dcr, lo=rmin,
+                               hi=rmax, base_rec=base_rec)
         resid_bits, resid_feas, _, bs_r, ks_r = self._search_truncation(
             an_r, self.resid, recon_r, data_ref, target, jnp.float32(0.0),
-            cand=bp.candidate_bits(counts_r, self.resid.spec))
+            cand=bp.candidate_bits(counts_r, self.resid.spec), ev=ev_r)
         _, km_r, mbits_r, _, _, segs_r = self._search_mask(
             an_r, self.resid, recon_r, data_ref, target, jnp.float32(0.0),
-            bs_r, resid_bits, resid_feas, counts_r)
+            bs_r, resid_bits, resid_feas, counts_r, ev=ev_r)
 
         pb16, pb8, sb16, sb8, okb16, okb8 = self._pack_small(
             ci, an_b.max_step, jnp.minimum(bs_q, bs_pure))
@@ -677,21 +793,25 @@ class FrameCodec:
 
         counts_b = self._counts(an_b, self.base)
         cand_b = bp.candidate_bits(counts_b, self.base.spec)
+        ev_b = self._make_eval(an_b, self.base, recon_b, data_ref, target,
+                               ci=ci, kind="base", dc=dc, lo=mn, hi=mx)
         bits_pure, feas_pure, _, bs_pure, ks_pure = self._search_truncation(
             an_b, self.base, recon_b, data_ref, target, jnp.float32(0.0),
-            cand=cand_b)
+            cand=cand_b, ev=ev_b)
         _, km_pure, mbits_pure, _, _, segs_pure = self._search_mask(
             an_b, self.base, recon_b, data_ref, target, jnp.float32(0.0),
-            bs_pure, bits_pure, feas_pure, counts_b)
+            bs_pure, bits_pure, feas_pure, counts_b, ev=ev_b)
 
         per_q = []
         bs_min = bs_pure
         for k in range(qs.shape[0]):
             bits_q, feas_q, maxd_q, bs_q, ks_q = self._search_truncation(
-                an_b, self.base, recon_b, data_ref, target, qs[k], cand=cand_b)
+                an_b, self.base, recon_b, data_ref, target, qs[k],
+                cand=cand_b, ev=ev_b)
             use_mq, km_q, mbits_q, maxd_qm, drop_q, segs_q = \
                 self._search_mask(an_b, self.base, recon_b, data_ref, target,
-                                  qs[k], bs_q, bits_q, feas_q, counts_b)
+                                  qs[k], bs_q, bits_q, feas_q, counts_b,
+                                  ev=ev_b)
             coef_q = self._recon_at(an_b, self.base, bs_q, ks_q)
             if self._mask_enabled(self.base):
                 coef_q = jnp.where(use_mq[:, None, None],
@@ -708,12 +828,15 @@ class FrameCodec:
                 return _b + self._resid_recon(rc, _rmin, _rmax, _dcr)
 
             counts_r = self._counts(an_r, self.resid)
+            ev_r = self._make_eval(an_r, self.resid, recon_r, data_ref,
+                                   target, ci=cir, kind="resid", dc=dcr,
+                                   lo=rmin, hi=rmax, base_rec=base_rec)
             resid_bits, resid_feas, _, bs_r, ks_r = self._search_truncation(
                 an_r, self.resid, recon_r, data_ref, target, jnp.float32(0.0),
-                cand=bp.candidate_bits(counts_r, self.resid.spec))
+                cand=bp.candidate_bits(counts_r, self.resid.spec), ev=ev_r)
             _, km_r, mbits_r, _, _, segs_r = self._search_mask(
                 an_r, self.resid, recon_r, data_ref, target, jnp.float32(0.0),
-                bs_r, resid_bits, resid_feas, counts_r)
+                bs_r, resid_bits, resid_feas, counts_r, ev=ev_r)
             pr16, pr8, sr16, sr8, okr16, okr8 = self._pack_small(
                 cir, an_r.max_step,
                 jnp.where(skip_residual, self.resid.spec.nplanes, bs_r))

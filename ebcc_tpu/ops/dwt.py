@@ -81,14 +81,60 @@ def _along_cols(fn, x):
     return jnp.swapaxes(fn(jnp.swapaxes(x, -1, -2)), -1, -2)
 
 
+# ---- column-direction lifting without transposes ----
+#
+# ``_along_cols`` materialises two [..., W, H] transposes per level per
+# direction; on TPU those are real HBM copies that dominate the lifting's
+# own traffic.  The *_v functions below run the identical arithmetic
+# directly on axis -2 (same ops, same order => bit-identical results —
+# tests/test_dwt.py::test_vertical_matches_transposed) so the 2-D
+# transforms never transpose.
+
+def _edge_next_v(x):
+    return jnp.concatenate([x[..., 1:, :], x[..., -1:, :]], axis=-2)
+
+
+def _reflect_prev_v(x):
+    return jnp.concatenate([x[..., 1:2, :], x[..., :-1, :]], axis=-2)
+
+
+def _reflect_next_v(x):
+    return jnp.concatenate([x[..., 1:, :], x[..., -2:-1, :]], axis=-2)
+
+
+def dwt1d_v(x):
+    """One CDF 9/7 analysis level along axis -2 (bit-identical to
+    ``_along_cols(dwt1d, x)``)."""
+    even = x[..., 0::2, :]
+    odd = x[..., 1::2, :]
+    d = odd + ALPHA * (even + _edge_next_v(even))
+    s = even + BETA * (d + _reflect_prev_v(d))
+    d = d + GAMMA * (s + _reflect_next_v(s))
+    s = s + DELTA * (d + _reflect_prev_v(d))
+    return jnp.concatenate([s * XI, d / XI], axis=-2)
+
+
+def idwt1d_v(x):
+    """Inverse of :func:`dwt1d_v` along axis -2."""
+    n2 = x.shape[-2] // 2
+    s = x[..., :n2, :] / XI
+    d = x[..., n2:, :] * XI
+    s = s - DELTA * (d + _reflect_prev_v(d))
+    d = d - GAMMA * (s + _reflect_next_v(s))
+    even = s - BETA * (d + _reflect_prev_v(d))
+    odd = d - ALPHA * (even + _edge_next_v(even))
+    out = jnp.stack([even, odd], axis=-2)  # [..., n2, 2, W]
+    return out.reshape(*x.shape[:-2], 2 * n2, x.shape[-1])
+
+
 def dwt2d(x):
     """One 2-D analysis level: rows then columns (dwt.h:210-216)."""
-    return _along_cols(dwt1d, _along_rows(dwt1d, x))
+    return dwt1d_v(_along_rows(dwt1d, x))
 
 
 def idwt2d(x):
     """One 2-D synthesis level: columns then rows (dwt.h:218-224)."""
-    return _along_rows(idwt1d, _along_cols(idwt1d, x))
+    return _along_rows(idwt1d, idwt1d_v(x))
 
 
 @functools.partial(jax.jit, static_argnames=("levels",))

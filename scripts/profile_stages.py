@@ -47,26 +47,31 @@ def device_stage_breakdown(codec, u, mnb, mxb, target, qbase, reps=3):
         def recon_b(rc):
             return c._base_recon(rc, mn, mx, dc)
 
+        # the evaluator _eb_core would build (fused kernel on TPU by
+        # default) so the stage deltas profile the production path
+        ev = c._make_eval(an, c.base, recon_b, dataq, target, ci=ci,
+                          kind="base", dc=dc, lo=mn, hi=mx)
         q = c._search_truncation(an, c.base, recon_b, dataq, target, qb,
-                                 cand=cand)
+                                 cand=cand, ev=ev)
         pure = c._search_truncation(an, c.base, recon_b, dataq, target,
-                                    jnp.float32(0.0), cand=cand)
-        return dataq, dc, an, counts, recon_b, q, pure
+                                    jnp.float32(0.0), cand=cand, ev=ev)
+        return dataq, dc, an, counts, recon_b, ev, q, pure
 
     def p2(u, mn, mx, target):  # + q and pure truncation bisections
-        _, dc, an, counts, _, q, pure = _searches(u, mn, mx, target)
+        _, dc, an, counts, _, _, q, pure = _searches(u, mn, mx, target)
         return (q[0].sum() + pure[0].sum() + q[3].sum() + pure[3].sum() +
                 q[4].sum() + pure[4].sum())
 
     def p3(u, mn, mx, target):  # + both chunk-mask greedy scans
-        dataq, dc, an, counts, recon_b, q, pure = _searches(
+        dataq, dc, an, counts, recon_b, ev, q, pure = _searches(
             u, mn, mx, target)
         bits_q, feas_q, maxd_q, bs_q, ks_q = q
         bits_p, feas_p, _, bs_p, ks_p = pure
         mq = c._search_mask(an, c.base, recon_b, dataq, target, qb, bs_q,
-                            bits_q, feas_q, counts)
+                            bits_q, feas_q, counts, ev=ev)
         mp = c._search_mask(an, c.base, recon_b, dataq, target,
-                            jnp.float32(0.0), bs_p, bits_p, feas_p, counts)
+                            jnp.float32(0.0), bs_p, bits_p, feas_p, counts,
+                            ev=ev)
         return (mq[2].sum() + mp[2].sum() + mq[1].sum() + mp[1].sum() +
                 mq[5].sum() + mp[5].sum())
 

@@ -83,3 +83,17 @@ def test_energy_roughly_preserved(small_frame):
     ex = float(jnp.sum(x * x))
     ec = float(jnp.sum(c * c))
     assert 0.3 < ec / ex < 3.5
+
+
+def test_vertical_matches_transposed():
+    """The axis-direct column lifting (dwt1d_v / idwt1d_v) is BIT-identical
+    to the transpose-sandwich form it replaced — the 2-D transforms (and
+    therefore every stream byte) are unchanged by the layout optimisation."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((3, 64, 96)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(dwt._along_cols(dwt.dwt1d, x)),
+        np.asarray(dwt.dwt1d_v(x)))
+    np.testing.assert_array_equal(
+        np.asarray(dwt._along_cols(dwt.idwt1d, x)),
+        np.asarray(dwt.idwt1d_v(x)))
