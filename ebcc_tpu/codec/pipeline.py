@@ -613,7 +613,15 @@ class FrameCodec:
         return p16, p8, s16, s8, ok16, ok8
 
     def _sparsify(self, p16, pack16_ok, k=None):
-        """Sparse (delta, value) transfer form of a packed-u16 plane."""
+        """Sparse (delta, value) transfer form of a packed-u16 plane.
+
+        The sort-of-keys compaction is deliberate: a cumsum+searchsorted
+        formulation (identical results, tests/test_sparse_transfer.py::
+        test_sparsify_matches_sort_formulation) measured 8x SLOWER on
+        chip — TPU dynamic gathers cost more than the bitonic sort
+        (round-5 profile: packing stage 48 ms sorted vs 386 ms gathered,
+        B=8).
+        """
         b = p16.shape[0]
         n = p16.shape[1] * p16.shape[2]
         k = self.base_sparse_k if k is None else k

@@ -31,7 +31,7 @@ from ebcc_tpu.codec.pipeline import FrameCodec
 from ebcc_tpu.ops import bitplane as bp
 from ebcc_tpu.ops import pallas_eval as pe
 
-B, H, W = 2, 240, 480
+B, H, W = 2, 160, 320
 
 
 @pytest.fixture(scope="module")
@@ -83,10 +83,10 @@ def _assert_parity(stats_k, stats_j):
 def test_trunc_candidates_parity(setup):
     ev_k, ev_j, c = _evals(setup)
     j = c.base.spec.nchunks
-    for b in range(0, c.base.spec.nplanes, 3):
+    for b in range(0, c.base.spec.nplanes, 5):
         bv = jnp.full(B, b, jnp.int32)
         _assert_parity(ev_k.trunc(bv), ev_j.trunc(bv))
-    for k in (1, j - 1, j, j + 2, 2 * j - 1):
+    for k in (1, j, 2 * j - 1):
         js = jnp.full(B, min(k + 1, j) if k < j else j, jnp.int32)
         jr = jnp.full(B, 0 if k < j else k - j + 1, jnp.int32)
         bv = jnp.full(B, 5, jnp.int32)
@@ -98,7 +98,7 @@ def test_masked_candidates_parity(setup):
     ev_k, ev_j, c = _evals(setup)
     j = c.base.spec.nchunks
     rng = np.random.default_rng(3)
-    for _ in range(4):
+    for _ in range(2):
         drop = jnp.asarray(rng.random((B, j)) < 0.4)
         bv = jnp.full(B, 6, jnp.int32)
         _assert_parity(ev_k.masked(bv, drop), ev_j.masked_jnp(bv, drop))
@@ -124,7 +124,7 @@ def test_resid_kind_parity(setup):
                         base_rec=base_rec)
     ev_j = c._make_eval(an_r, c.resid, recon_r, dj, target)
     assert ev_k.kernel is not None
-    for b in (0, 4, 9):
+    for b in (0, 9):
         bv = jnp.full(B, b, jnp.int32)
         _assert_parity(ev_k.trunc(bv), ev_j.trunc(bv))
 

@@ -155,3 +155,38 @@ def test_sparse_bucket_trim_is_lossless():
     for kmax in (0, 1, 4096, 8192, 8193, 70_000, 141_312):
         k = api._sparse_bucket(kmax, 141_312)
         assert kmax <= k <= 141_312
+
+
+def test_sparsify_matches_sort_formulation():
+    """The cumsum+searchsorted compaction (round 5: replaces the [B, n]
+    device sort that dominated the packing stage) is IDENTICAL to the
+    original sort-of-keys formulation, including past-the-cap, all-zero
+    and over-u16-gap frames."""
+    import jax
+    import jax.numpy as jnp
+    cfg = EBCCConfig(max_batch=3)
+    codec = FrameCodec(H, W, cfg)
+    n = codec.base.hp * codec.base.wp
+    k = codec.base_sparse_k
+    rng = np.random.default_rng(11)
+    for density in (0.0, 0.02, 0.3):
+        p = np.zeros((3, codec.base.hp, codec.base.wp), np.uint16)
+        m = rng.random(p.shape) < density
+        p[m] = rng.integers(1, 65535, m.sum()).astype(np.uint16)
+        d1, v1, ns1, ok1 = jax.jit(codec._sparsify)(jnp.asarray(p),
+                                                    jnp.ones(3, bool))
+        flat = p.reshape(3, -1)
+        keys = np.where(flat != 0, np.arange(n)[None], n)
+        pos = np.sort(keys, axis=-1)[:, :k]
+        delta = np.concatenate([pos[:, :1], pos[:, 1:] - pos[:, :-1]], 1)
+        nsig = (flat != 0).sum(-1)
+        valid = np.arange(k)[None] < nsig[:, None]
+        vals = np.take_along_axis(flat, np.minimum(pos, n - 1), axis=-1)
+        gaps_ok = np.all(np.where(valid, delta, 0) <= 65535, axis=-1)
+        np.testing.assert_array_equal(
+            np.asarray(d1), np.where(valid, delta, 0).astype(np.uint16))
+        np.testing.assert_array_equal(
+            np.asarray(v1), np.where(valid, vals, 0).astype(np.uint16))
+        np.testing.assert_array_equal(np.asarray(ns1), nsig)
+        np.testing.assert_array_equal(np.asarray(ok1),
+                                      (nsig <= k) & gaps_ok)
