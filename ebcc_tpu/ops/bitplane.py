@@ -125,6 +125,17 @@ def _planes(spec: CoderSpec):
     return jnp.arange(spec.nplanes - 1, -1, -1, dtype=jnp.int32)
 
 
+def _cum_counts(vals, th):
+    """C[.., t] = #{vals <= th[t]} over the trailing two dims.
+
+    ``vals``: int32 [..., h, w]; ``th``: int32 [T].  Returns
+    int32 [..., T].
+    """
+    le = vals[..., None, :, :] <= th[(None,) * (vals.ndim - 2) +
+                                     (slice(None), None, None)]
+    return jnp.sum(le, axis=(-2, -1), dtype=jnp.int32)
+
+
 def segment_counts(an: Analysis, spec: CoderSpec, use_pallas: bool = False,
                    pallas_interpret: bool = False):
     """Number of bits emitted per (plane, segment); closed form.
@@ -132,31 +143,51 @@ def segment_counts(an: Analysis, spec: CoderSpec, use_pallas: bool = False,
     Returns int32 [B, nplanes, nsegments].  Segment order per plane:
     group level G..1, (sig_j, sign_j) for j in 0..J-1, refine_j for j.
 
+    Counts are derived from CUMULATIVE HISTOGRAMS using the pyramid's
+    monotonicity (a node's max is >= each child's, so ``own <= p <= par``
+    splits as ``C_own(p) - C_par(p-1)``): one threshold sweep per value
+    array instead of three mask families per plane — ~3x less element
+    work than the per-plane mask formulation it replaced, with INTEGER
+    results identical by construction
+    (tests/test_bitplane.py::test_segment_counts_matches_mask_formulation).
+
     ``use_pallas``: compute the level-0 counts (the 3J large segments)
     with the fused VMEM kernel (ops/pallas_kernels.py) — bit-identical
     results, scheduling only.  ``pallas_interpret`` runs that kernel in
     interpret mode (CPU testing).
     """
     g, j = spec.group_levels, spec.nchunks
-    sid = stripe_id(spec)
-    planes = _planes(spec)  # [P]
-    pb = planes[:, None, None]  # broadcast over nodes
+    p = spec.nplanes
+    planes = _planes(spec)  # [P] descending: row q is plane P-1-q
+    # thresholds -1..P-1: th[t] = t-1, so C[..., plane + 1] = C(plane)
+    th = jnp.arange(-1, p, dtype=jnp.int32)
 
-    def count(mask):  # mask [B, P, h, w] -> [B, P]
-        return jnp.sum(mask, axis=(-2, -1), dtype=jnp.int32)
+    def at_p(c):       # C(plane) per output row, [B?, P]
+        return c[..., planes + 1]
+
+    def at_pm1(c):     # C(plane - 1) per output row
+        return c[..., planes]
 
     segs = []  # each [B, P]
+    # group levels k = G..1: emit = (parent >= p) & (own <= p); parent of
+    # a level-k node is its level-(k+1) cell (4 children each), so
+    # #{par <= t} = 4 * C_{k+1}(t); for k = G the parent is the frame max.
+    cg = {k: _cum_counts(an.smax[k], th) for k in range(1, g + 1)}
     for k in range(g, 0, -1):
+        own_p = at_p(cg[k])
         if k == g:
-            par_ok = an.max_step[:, None, None, None] >= pb
+            par_ge = (an.max_step[:, None] >= planes[None, :])
+            segs.append(jnp.where(par_ge, own_p, 0))
         else:
-            par_ok = _upsample2(an.smax[k + 1][:, None] >= pb)
-        emit = par_ok & (an.smax[k][:, None] <= pb)
-        segs.append(count(emit))
+            segs.append(own_p - 4 * at_pm1(cg[k + 1]))
     if use_pallas:
         from . import pallas_kernels as pk
         if not pk.level0_supported(spec.height, spec.width, g, j):
             use_pallas = False
+    if (spec.height % j) or ((spec.height // 2) % j):
+        # stripes are not even row-multiples: the histogram reshape does
+        # not apply — per-plane mask formulation for level 0
+        return _level0_counts_masks(an, spec, segs)
     if use_pallas:
         par_full = _upsample2(an.smax[1])
         k0 = pk.level0_counts(an.msb, par_full, spec.nplanes, j,
@@ -168,6 +199,40 @@ def segment_counts(an: Analysis, spec: CoderSpec, use_pallas: bool = False,
         for jj in range(j):
             segs.append(k0[:, jj, :, 2])
         return jnp.stack(segs, axis=-1)  # [B, P, S]
+    # level 0, per stripe (stripe heights are even multiples, so each
+    # smax[1] cell's 4 pixels lie in one stripe):
+    #   sig_j    = #{par >= p & msb <= p} = Cm_j(p) - 4*Cs1_j(p-1)
+    #   sign_j   = #{msb == p}            = Cm_j(p) - Cm_j(p-1)
+    #   refine_j = #{msb > p}             = N_j - Cm_j(p)
+    b = an.msb.shape[0]
+    hs = spec.height // j
+    cm = _cum_counts(an.msb.reshape(b, j, hs, spec.width), th)  # [B,J,T]
+    cs1 = _cum_counts(an.smax[1].reshape(b, j, hs // 2, spec.width // 2),
+                      th)
+    nj = hs * spec.width
+    sig = at_p(cm) - 4 * at_pm1(cs1)        # [B, J, P]
+    sign = at_p(cm) - at_pm1(cm)
+    refine = nj - at_p(cm)
+    for jj in range(j):
+        segs.append(sig[:, jj])
+        segs.append(sign[:, jj])
+    for jj in range(j):
+        segs.append(refine[:, jj])
+    return jnp.stack(segs, axis=-1)  # [B, P, S]
+
+
+def _level0_counts_masks(an, spec, segs):
+    """Per-plane mask formulation of the level-0 counts — kept for
+    geometries whose stripes are not even row-multiples (the histogram
+    reshape needs height and height/2 divisible by J)."""
+    g, j = spec.group_levels, spec.nchunks
+    sid = stripe_id(spec)
+    pb = _planes(spec)[:, None, None]
+
+    def count(mask):
+        return jnp.sum(mask, axis=(-2, -1), dtype=jnp.int32)
+
+    segs = list(segs)
     par0 = _upsample2(an.smax[1][:, None] >= pb)
     emit0 = par0 & (an.msb[:, None] <= pb)
     new = an.msb[:, None] == pb

@@ -205,3 +205,50 @@ def test_masked_full_keep_equals_plane_boundary_decode():
         mask_plane=jnp.full((1,), bstar, jnp.int32),
         keep_mask=jnp.full((1,), (1 << spec.nchunks) - 1, jnp.int32))
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(masked))
+
+
+def test_segment_counts_matches_mask_formulation():
+    """The cumulative-histogram counts (round 5) are integer-identical to
+    the per-plane mask formulation they replaced, across geometries
+    including one whose stripes defeat the histogram reshape (the
+    level-0 mask fallback)."""
+    def ref_counts(an, spec):
+        g, j = spec.group_levels, spec.nchunks
+        sid = bp.stripe_id(spec)
+        pb = bp._planes(spec)[:, None, None]
+
+        def count(mask):
+            return jnp.sum(mask, axis=(-2, -1), dtype=jnp.int32)
+
+        segs = []
+        for k in range(g, 0, -1):
+            if k == g:
+                par_ok = an.max_step[:, None, None, None] >= pb
+            else:
+                par_ok = bp._upsample2(an.smax[k + 1][:, None] >= pb)
+            segs.append(count(par_ok & (an.smax[k][:, None] <= pb)))
+        par0 = bp._upsample2(an.smax[1][:, None] >= pb)
+        emit0 = par0 & (an.msb[:, None] <= pb)
+        new = an.msb[:, None] == pb
+        old = an.msb[:, None] > pb
+        for jj in range(j):
+            in_chunk = sid == jj
+            segs.append(count(emit0 & in_chunk))
+            segs.append(count(new & in_chunk))
+        for jj in range(j):
+            segs.append(count(old & (sid == jj)))
+        return jnp.stack(segs, axis=-1)
+
+    rng = np.random.default_rng(5)
+    for (h, w, g, P, J) in [(64, 96, 4, 12, 8), (96, 64, 3, 10, 4),
+                            (92, 96, 2, 8, 4)]:  # last: mask fallback
+        spec = bp.CoderSpec(height=h, width=w, group_levels=g,
+                            nplanes=P, nchunks=J)
+        mags = (rng.integers(0, 1 << min(P, 15), (2, h, w)) *
+                (rng.random((2, h, w)) < 0.4)).astype(np.int32)
+        ci = jnp.asarray(
+            mags * rng.choice([-1, 1], (2, h, w)).astype(np.int32))
+        an = bp.analyze(ci, spec)
+        np.testing.assert_array_equal(
+            np.asarray(ref_counts(an, spec)),
+            np.asarray(bp.segment_counts(an, spec)))
