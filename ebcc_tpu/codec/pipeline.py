@@ -615,12 +615,13 @@ class FrameCodec:
     def _sparsify(self, p16, pack16_ok, k=None):
         """Sparse (delta, value) transfer form of a packed-u16 plane.
 
-        The sort-of-keys compaction is deliberate: a cumsum+searchsorted
-        formulation (identical results, tests/test_sparse_transfer.py::
-        test_sparsify_matches_sort_formulation) measured 8x SLOWER on
-        chip — TPU dynamic gathers cost more than the bitonic sort
-        (round-5 profile: packing stage 48 ms sorted vs 386 ms gathered,
-        B=8).
+        The sort-of-keys compaction is deliberate — two alternatives
+        measured SLOWER on chip (round 5), both gather-bound:
+        cumsum+searchsorted 8x (packing stage 48 -> 386 ms, B=8), and
+        per-row sort + two-level gather 3.5x (44 -> 156 ms standalone).
+        TPU dynamic gathers cost more than the monolithic bitonic sort.
+        Exact semantics pinned by tests/test_sparse_transfer.py::
+        test_sparsify_matches_sort_formulation.
         """
         b = p16.shape[0]
         n = p16.shape[1] * p16.shape[2]
