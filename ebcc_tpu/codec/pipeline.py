@@ -83,7 +83,7 @@ class _Eval:
             levels=k["levels"], nchunks=k["nchunks"], h=k["h"], w=k["w"],
             js=js, jr=jr, dropmask=dropmask, dc=k["dc"], lo=k["lo"],
             hi=k["hi"], tgt=k["tgt"], base_rec=k["base_rec"],
-            interpret=k["interpret"])
+            tgt_field=k["tgt_field"], interpret=k["interpret"])
         return maxd, cnt * k["inv_n"]
 
     def trunc(self, b, js=None, jr=None):
@@ -399,12 +399,13 @@ class FrameCodec:
         reduce) backend the searches evaluate candidates through.
 
         When the fused Pallas kernel applies (ops/pallas_eval.py: real-TPU
-        backend or forced flag, dense transforms, scalar per-frame
-        targets, supported geometry, raw integer coefficients available),
-        each evaluation runs VMEM-resident — identical f32 arithmetic,
-        ~2 HBM passes instead of ~9.  Otherwise (CPU meshes, pointwise
-        target fields, the spatially-sharded codec whose transform is the
-        halo-exchange one) evaluations take the jnp path unchanged.
+        backend or forced flag, dense transforms, supported geometry, raw
+        integer coefficients available), each evaluation runs
+        VMEM-resident — identical f32 arithmetic, ~2 HBM passes instead
+        of ~9.  Pointwise target FIELDS ([B, H, W]) use the kernel's
+        target-field variant.  Otherwise (CPU meshes, the spatially-
+        sharded codec whose transform is the halo-exchange one)
+        evaluations take the jnp path unchanged.
         """
         use = self.config.use_pallas_eval
         on_tpu = jax.default_backend() == "tpu"
@@ -412,7 +413,7 @@ class FrameCodec:
             use = on_tpu and _EVAL_AUTO_ON_TPU
         k = None
         if (use and ci is not None and kind is not None
-                and target.ndim == 1
+                and target.ndim in (1, 3)
                 and pe.supported(geom.hp, geom.wp, geom.levels)
                 and type(self)._idwt is FrameCodec._idwt):
             hp, wp = geom.hp, geom.wp
@@ -422,7 +423,9 @@ class FrameCodec:
                                    (0, wp - x.shape[2])))
 
             k = dict(ci=ci, ref=pad(data_ref), kind=kind, dc=dc, lo=lo,
-                     hi=hi, tgt=target,
+                     hi=hi,
+                     tgt=target if target.ndim == 1 else None,
+                     tgt_field=pad(target) if target.ndim == 3 else None,
                      base_rec=None if base_rec is None else pad(base_rec),
                      levels=geom.levels, nchunks=geom.spec.nchunks,
                      h=self.h, w=self.w,

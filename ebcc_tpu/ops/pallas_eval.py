@@ -136,16 +136,19 @@ def _plane_maps(hp, wp, levels, nchunks, peaks):
 
 def _build_call(kind: str, mode: str, hp: int, wp: int, levels: int,
                 nchunks: int, h: int, w: int, peaks: tuple,
-                interpret: bool):
-    """pallas_call for one (kind, mode) variant; grid over frames."""
+                pointwise: bool, interpret: bool):
+    """pallas_call for one (kind, mode, pointwise) variant; grid over
+    frames.  ``pointwise``: the error target is a per-point field input
+    (POINTWISE mode / DirectCompressor) instead of a per-frame scalar."""
 
-    n_fields = 3 if kind == "resid" else 2
+    n_fields = (3 if kind == "resid" else 2) + (1 if pointwise else 0)
 
     def kernel(iparams_ref, fparams_ref, ci_ref, ref_ref, *rest):
         if kind == "resid":
-            base_ref, out_ref, work = rest
-        else:
-            out_ref, work = rest
+            base_ref, *rest = rest
+        if pointwise:
+            tgt_ref, *rest = rest
+        out_ref, work = rest
 
         rows, cols, wb, chunk = _plane_maps(hp, wp, levels, nchunks, peaks)
 
@@ -183,7 +186,7 @@ def _build_call(kind: str, mode: str, hp: int, wp: int, levels: int,
             work[:hh, :ww] = _idwt2d_value(work[:hh, :ww])
 
         dc = fparams_ref[fi, 0]
-        tgt = fparams_ref[fi, 3]
+        tgt = tgt_ref[0] if pointwise else fparams_ref[fi, 3]
         y = work[:] + dc
         if kind == "base":
             mn, mx = fparams_ref[fi, 1], fparams_ref[fi, 2]
@@ -229,29 +232,32 @@ def _build_call(kind: str, mode: str, hp: int, wp: int, levels: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _cached_call(kind, mode, hp, wp, levels, nchunks, h, w, interpret):
+def _cached_call(kind, mode, hp, wp, levels, nchunks, h, w, pointwise,
+                 interpret):
     peaks = _subband_peaks(levels)
     return _build_call(kind, mode, hp, wp, levels, nchunks, h, w, peaks,
-                       interpret)
+                       pointwise, interpret)
 
 
 def eval_stats(ci, ref, b, *, kind: str, mode: str, levels: int,
                nchunks: int, h: int, w: int,
                js=None, jr=None, dropmask=None,
                dc=None, lo=None, hi=None, tgt=None, base_rec=None,
-               interpret: bool = False):
+               tgt_field=None, interpret: bool = False):
     """Fused (max excess, violation count) of one candidate per frame.
 
     ``ci``: int32 [B, hp, wp] integer coefficients; ``ref``: f32
     [B, hp, wp] comparison field, zero-padded past (h, w) (masked out);
     ``b``/``js``/``jr``/``dropmask``: per-frame i32 candidates; ``dc``:
     per-frame DC; ``lo``/``hi``: (mn, mx) for kind="base", (rmin, rmax)
-    for kind="resid"; ``tgt``: per-frame scalar error target;
-    ``base_rec``: f32 [B, hp, wp] fixed base reconstruction
-    (kind="resid" only).  Returns (maxd [B] f32, count [B] f32).
+    for kind="resid"; ``tgt``: per-frame scalar error target — or pass
+    ``tgt_field`` (f32 [B, hp, wp], padding masked out) for POINTWISE
+    per-point targets; ``base_rec``: f32 [B, hp, wp] fixed base
+    reconstruction (kind="resid" only).  Returns (maxd [B], count [B]).
     """
     batch, hp, wp = ci.shape
     zi = jnp.zeros((), jnp.int32)
+    pointwise = tgt_field is not None
 
     def col(v):
         v = jnp.asarray(v)
@@ -268,12 +274,15 @@ def eval_stats(ci, ref, b, *, kind: str, mode: str, levels: int,
         return jnp.broadcast_to(v, (batch,))[:, None]
 
     fparams = jnp.concatenate(
-        [fcol(dc), fcol(lo), fcol(hi), fcol(tgt)], axis=1)
+        [fcol(dc), fcol(lo), fcol(hi),
+         fcol(tgt if tgt is not None else 0.0)], axis=1)
 
     call = _cached_call(kind, mode, hp, wp, levels, nchunks, h, w,
-                        interpret)
+                        pointwise, interpret)
     args = (iparams, fparams, ci, ref)
     if kind == "resid":
         args = args + (base_rec,)
+    if pointwise:
+        args = args + (tgt_field,)
     out = call(batch)(*args)
     return out[:, 0], out[:, 1]

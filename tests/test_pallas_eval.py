@@ -10,9 +10,10 @@ std::fma in its scan rows).  The enforceable contract, asserted here:
 
 * maxd / viol agree to last-ulp tolerance AND every feasibility
   decision (maxd <= 0, viol <= qallow) is identical, for truncation,
-  fine-chunk and chunk-mask candidates, both layer kinds;
-* full containers are byte-identical with the flag on vs off;
-* unsupported cases (pointwise target fields) fall back to the jnp path.
+  fine-chunk and chunk-mask candidates, both layer kinds, scalar AND
+  per-point (pointwise) targets;
+* full containers are byte-identical with the flag on vs off in both
+  MAX_ERROR and POINTWISE_MAX_ERROR modes.
 
 Mosaic-vs-XLA agreement on hardware is verified end-to-end by the
 on-chip A/B (scripts/pallas_eval_ab.py, results in BENCHMARKS.md).
@@ -142,16 +143,43 @@ def test_container_byte_identity(setup):
     assert float(np.max(np.abs(rec - data))) <= 0.25
 
 
-def test_pointwise_targets_fall_back(setup):
+def test_pointwise_target_field_parity(setup):
+    """Per-point target FIELDS route through the kernel's target-field
+    variant (round 5: POINTWISE mode / DirectCompressor no longer falls
+    back to the jnp path on TPU) with the same parity contract."""
     c, dj, data, mn, mx, dc, ci, an, _ = setup
-    tgt3 = jnp.full((B, H, W), 0.25, jnp.float32)
+    rng = np.random.default_rng(9)
+    tgt3 = jnp.asarray(
+        (0.2 + 0.2 * rng.random((B, H, W))).astype(np.float32))
 
     def recon_b(rc):
         return c._base_recon(rc, mn, mx, dc)
 
-    ev = c._make_eval(an, c.base, recon_b, dj, tgt3, ci=ci, kind="base",
-                      dc=dc, lo=mn, hi=mx)
-    assert ev.kernel is None  # pointwise fields keep the jnp path
+    ev_k = c._make_eval(an, c.base, recon_b, dj, tgt3, ci=ci, kind="base",
+                        dc=dc, lo=mn, hi=mx)
+    ev_j = c._make_eval(an, c.base, recon_b, dj, tgt3)
+    assert ev_k.kernel is not None and ev_k.kernel["tgt_field"] is not None
+    for b in (0, 6, 12):
+        bv = jnp.full(B, b, jnp.int32)
+        _assert_parity(ev_k.trunc(bv), ev_j.trunc(bv))
+    drop = jnp.zeros((B, c.base.spec.nchunks), bool).at[:, 1].set(True)
+    _assert_parity(ev_k.masked(jnp.full(B, 6, jnp.int32), drop),
+                   ev_j.masked_jnp(jnp.full(B, 6, jnp.int32), drop))
+
+
+def test_pointwise_container_byte_identity(setup):
+    _, _, data, *_ = setup
+    cfg0 = EBCCConfig(mode=ResidualMode.POINTWISE_MAX_ERROR, error=0.3,
+                      base_cr=200, max_batch=B, use_pallas_eval=False,
+                      encode_backend="device", decode_backend="device")
+    cfg1 = dataclasses.replace(cfg0, use_pallas_eval=True)
+    rng = np.random.default_rng(13)
+    eb = (0.25 + 0.35 * rng.random(data.shape)).astype(np.float32)
+    b0 = ebcc_tpu.compress(data, cfg0, error_bound=eb)
+    b1 = ebcc_tpu.compress(data, cfg1, error_bound=eb)
+    assert b0 == b1
+    rec = ebcc_tpu.decompress(b1, cfg1)
+    assert np.all(np.abs(rec - data) <= eb)
 
 
 def test_supported_geometry_guard():
