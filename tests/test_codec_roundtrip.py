@@ -142,12 +142,13 @@ class TestERA5FullFrame:
     def test_relative_error_canonical(self, era5_frame):
         """The reference's canonical config (test.py): rel error 0.009.
 
-        Golden CR threshold: the repo's measured figure on the real ERA5
-        fixture is ~65x (BENCHMARKS.md) vs the reference's logged 57.6-62x;
-        >= 60x pins the claim so a rate regression fails CI (the old
-        `> 15` bar would have passed a 4x regression).  The synthetic
-        fallback fixture (no /root/reference data) compresses differently;
-        it keeps a looser floor.
+        Golden CR threshold: the measured round-5 figure on the real
+        fixture (test_data.npy) is 109.1x at this config — >= 100x pins
+        it so a rate regression fails CI.  (On the actual temperature.nc
+        frame, a rougher field, the same config measures 72.1x vs the
+        reference's logged 57.6-62x — BENCHMARKS.md parity table.)  The
+        synthetic fallback fixture (no /root/reference data) compresses
+        differently; it keeps a looser floor.
         """
         data = era5_frame[None]
         cfg = EBCCConfig(mode=ResidualMode.RELATIVE_ERROR, error=0.009,
@@ -161,7 +162,7 @@ class TestERA5FullFrame:
         assert rel <= 0.009
         import os
         real_fixture = os.path.exists("/root/reference/data/test_data.npy")
-        assert ratio >= (60 if real_fixture else 15)
+        assert ratio >= (100 if real_fixture else 15)
 
     def test_max_error_golden_cr(self, era5_frame):
         """Golden CR at the bench config (max_error 0.5): measured ~106x
@@ -176,3 +177,24 @@ class TestERA5FullFrame:
         ratio = cr(data, blob)
         real_fixture = os.path.exists("/root/reference/data/test_data.npy")
         assert ratio >= (95 if real_fixture else 20)
+
+    def test_temperature_nc_parity(self):
+        """Canonical-config parity on the reference's ACTUAL canonical
+        data (temperature.nc read via h5py — netCDF4 is HDF5-based).
+        Round-5 measured 72.1x vs the reference C filter's logged
+        57.6-62x per-frame CRs (data/compress_logs.txt); >= 66x pins the
+        beats-reference claim with margin for last-ulp drift."""
+        import os
+        path = "/root/reference/data/temperature.nc"
+        if not os.path.exists(path):
+            pytest.skip("reference temperature.nc not available")
+        h5py = pytest.importorskip("h5py")
+        with h5py.File(path, "r") as f:
+            data = np.asarray(f["temperature"][0, 0], np.float32)[None]
+        cfg = EBCCConfig(mode=ResidualMode.RELATIVE_ERROR, error=0.009,
+                         base_cr=100, max_batch=1)
+        blob = ebcc_tpu.compress(data, cfg)
+        rec = ebcc_tpu.decompress(blob, cfg)
+        rng = data.max() - data.min()
+        assert float(np.max(np.abs(rec - data))) / rng <= 0.009
+        assert cr(data, blob) >= 66
