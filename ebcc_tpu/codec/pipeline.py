@@ -618,12 +618,14 @@ class FrameCodec:
     def _sparsify(self, p16, pack16_ok, k=None):
         """Sparse (delta, value) transfer form of a packed-u16 plane.
 
-        The sort-of-keys compaction is deliberate — two alternatives
-        measured SLOWER on chip (round 5), both gather-bound:
-        cumsum+searchsorted 8x (packing stage 48 -> 386 ms, B=8), and
-        per-row sort + two-level gather 3.5x (44 -> 156 ms standalone).
-        TPU dynamic gathers cost more than the monolithic bitonic sort.
-        Exact semantics pinned by tests/test_sparse_transfer.py::
+        The monolithic sort is deliberate — two gather-based compactions
+        measured SLOWER on chip (round 5): cumsum+searchsorted 8x
+        (packing stage 48 -> 386 ms, B=8), per-row sort + two-level
+        gather 3.5x.  TPU dynamic gathers cost more than the bitonic
+        sort, which is also why the VALUES ride the sort as a co-sorted
+        operand (stable lax.sort payload) instead of a take_along_axis —
+        1.14x on the op, identical outputs.  Exact semantics pinned by
+        tests/test_sparse_transfer.py::
         test_sparsify_matches_sort_formulation.
         """
         b = p16.shape[0]
@@ -634,12 +636,12 @@ class FrameCodec:
         nsig = jnp.sum(nzm, axis=-1, dtype=jnp.int32)
         idx = jnp.arange(n, dtype=jnp.int32)
         keys = jnp.where(nzm, idx, jnp.int32(n))
-        pos = jnp.sort(keys, axis=-1)[:, :k]
+        pos, vals = jax.lax.sort((keys, flat), num_keys=1)
+        pos, vals = pos[:, :k], vals[:, :k]
         delta = jnp.concatenate([pos[:, :1], pos[:, 1:] - pos[:, :-1]],
                                 axis=1)
         valid = jnp.arange(k)[None, :] < nsig[:, None]
         gaps_ok = jnp.all(jnp.where(valid, delta, 0) <= 65535, axis=-1)
-        vals = jnp.take_along_axis(flat, jnp.minimum(pos, n - 1), axis=-1)
         ok = (nsig <= k) & gaps_ok & pack16_ok
         return (jnp.where(valid, delta, 0).astype(jnp.uint16),
                 jnp.where(valid, vals, 0).astype(jnp.uint16), nsig, ok)
