@@ -32,7 +32,7 @@ from ebcc_tpu.codec.pipeline import FrameCodec
 from ebcc_tpu.ops import bitplane as bp
 from ebcc_tpu.ops import pallas_eval as pe
 
-B, H, W = 2, 160, 320
+B, H, W = 2, 96, 160
 
 
 @pytest.fixture(scope="module")
